@@ -1,0 +1,69 @@
+"""Headline benchmark: fused GNN-MD throughput for 258-atom LJ on one chip.
+
+Prints ONE JSON line:
+    {"metric": ..., "value": N, "unit": "steps/s", "vs_baseline": N/target}
+
+The metric is full MD steps per second — each step is neighbor-mask refresh +
+GAMD-small GNN force evaluation + BAOAB Langevin update, all inside one
+jitted lax.scan (neighbor indices rebuilt every `rebuild_every` steps inside
+the same program). Baseline target: 1e5 steps/s (BASELINE.md; the reference
+publishes no throughput at all — its per-step path crosses four frameworks
+and the host).
+"""
+
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from gamd_tpu.core.config import MDConfig, TrainConfig, get_preset, lj_model_config
+from gamd_tpu.md.simulate import Simulation
+from gamd_tpu.physics import lennard_jones as lj
+from gamd_tpu.train.forcefield import GNNForceField
+from gamd_tpu.train.state import build_model, create_train_state
+
+BASELINE_STEPS_PER_S = 1e5
+
+
+def main():
+    system = get_preset("lj")
+    model_cfg = lj_model_config()
+    # Architecture-only benchmark: untrained weights, real compute graph.
+    state = create_train_state(
+        build_model(model_cfg, system), system, TrainConfig(), 1,
+        rng=jax.random.PRNGKey(0))
+    ff = GNNForceField(state, system, model_cfg)
+
+    md = MDConfig(integrator="langevin", temperature=system.temperature,
+                  dt_fs=system.dt_fs, friction_per_ps=system.friction_per_ps,
+                  rebuild_every=20)
+    sim = Simulation(ff.force_fn(), system, md)
+
+    box, pos0 = lj.lj_fluid_box(system.n_atoms, 0.5)
+    st = sim.init_state(jnp.asarray(pos0), rng=jax.random.PRNGKey(1))
+
+    n_steps = 2000
+    # Warmup: compile + one run.
+    result = sim.run(st, n_steps)
+    jax.block_until_ready(result.state.pos)
+
+    reps = 3
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        result = sim.run(st, n_steps)
+        jax.block_until_ready(result.state.pos)
+    dt = (time.perf_counter() - t0) / reps
+    steps_per_s = n_steps / dt
+
+    print(json.dumps({
+        "metric": "fused GNN-MD steps/s (258-atom LJ, GAMD-small + BAOAB)",
+        "value": round(steps_per_s, 1),
+        "unit": "steps/s",
+        "vs_baseline": round(steps_per_s / BASELINE_STEPS_PER_S, 4),
+    }))
+
+
+if __name__ == "__main__":
+    main()

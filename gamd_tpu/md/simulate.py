@@ -1,0 +1,171 @@
+"""Fused GNN-MD simulation driver: neighbor search + force model + integrator
+in a single jitted double-scan, zero per-step host round trips.
+
+This replaces the reference's rollout contraption, which bounces every step
+through four frameworks and the host (set per-DoF force -> OpenMM step(1) ->
+getState -> JAX neighbor search -> CuPy -> Torch GNN -> numpy -> OpenMM;
+reference: /root/reference/code/LJ/test_script/test_langevin.py:95-113, and
+README's own admission of the overhead, /root/reference/code/README.md:46).
+
+Structure: an outer lax.scan over "chunks" rebuilds the padded neighbor list
+(at cutoff+skin) once per chunk; an inner lax.scan advances `rebuild_every`
+MD steps reusing those indices, re-validating only the true-cutoff mask from
+current positions each force call (Verlet-skin reuse). Thermostat state rides
+the scan carry; capacity overflow is OR-accumulated and reported at the end
+(recover by enlarging k_max and rerunning — the static-shape analogue of the
+reference's did_buffer_overflow rebuild, graph_utils.py:41-43).
+"""
+
+from functools import partial
+from typing import Callable, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+from gamd_tpu.core import space, units
+from gamd_tpu.core.config import MDConfig, SystemConfig
+from gamd_tpu.md import integrators as integ
+from gamd_tpu.neighbors import dense
+from gamd_tpu.neighbors.cell_list import cell_list_neighbor_list
+
+
+class Thermo(NamedTuple):
+    """Per-step thermodynamic log (the reference's StateDataReporter columns:
+    step, time, KE, T — test_langevin.py:79-83)."""
+
+    kinetic_energy: jnp.ndarray   # [steps] kJ/mol
+    temperature: jnp.ndarray      # [steps] K
+
+
+class RunResult(NamedTuple):
+    state: object                 # final integrator state
+    thermo: Thermo
+    overflow: jnp.ndarray         # bool — neighbor capacity exceeded at any rebuild
+
+
+class Simulation:
+    """Fused NVT/NVE simulation of a periodic particle system.
+
+    Args:
+        force_fn: (pos_wrapped [N,3], idx [N,K], mask [N,K]) -> force [N,3]
+            in internal units (kJ/mol/A). Typically a closure over trained
+            GNN params (gamd_tpu.train.forcefield) or a classical potential.
+        system: SystemConfig (box, cutoff, capacity, masses).
+        md: MDConfig (integrator, dt, thermostat parameters, cadences).
+        nbr_method: 'dense' | 'cell'.
+    """
+
+    def __init__(self, force_fn: Callable, system: SystemConfig,
+                 md: MDConfig, nbr_method: str = "dense"):
+        if system.box is None:
+            raise ValueError("Simulation requires a fixed box")
+        self.force_fn = force_fn
+        self.system = system
+        self.md = md
+        self.nbr_method = nbr_method
+        self.masses = jnp.asarray(system.atom_masses())
+        self.dt = md.dt_fs * units.FS
+        self._run_cache = {}
+
+    # -- neighbor plumbing --------------------------------------------------
+
+    def _build_nbrs(self, pos):
+        sysc = self.system
+        radius = sysc.cutoff + sysc.skin
+        if self.nbr_method == "dense":
+            return dense.dense_neighbor_list(pos, sysc.box, radius,
+                                             sysc.nbr_capacity)
+        return cell_list_neighbor_list(pos, float(sysc.box), float(radius),
+                                       sysc.nbr_capacity)
+
+    def _force_with(self, idx, mask):
+        def force(pos):
+            posw = space.wrap(pos, self.system.box)
+            live = dense.refresh_mask(posw, self.system.box,
+                                      self.system.cutoff, idx, mask)
+            return self.force_fn(posw, idx, live)
+        return force
+
+    # -- integrator construction ---------------------------------------------
+
+    def _integrator(self, force):
+        md, sysc = self.md, self.system
+        if md.integrator == "nve":
+            return integ.velocity_verlet(force, self.dt, self.masses)
+        if md.integrator == "langevin":
+            return integ.baoab_langevin(
+                force, self.dt, self.masses, md.temperature,
+                friction=md.friction_per_ps / units.PS)
+        if md.integrator == "nose_hoover":
+            return integ.nose_hoover_chain(
+                force, self.dt, self.masses, md.temperature,
+                frequency=md.friction_per_ps / units.PS,
+                chain_length=md.chain_length, n_c=md.chain_mts,
+                n_ys=md.chain_ys)
+        if md.integrator == "andersen":
+            return integ.andersen(
+                force, self.dt, self.masses, md.temperature,
+                collision_rate=md.friction_per_ps / units.PS)
+        raise ValueError(f"unknown integrator {self.md.integrator!r}")
+
+    def init_state(self, pos, vel=None, rng=None):
+        """Initial integrator state; velocities default to Maxwell-Boltzmann."""
+        rng = jax.random.PRNGKey(self.md.seed) if rng is None else rng
+        k_vel, k_state = jax.random.split(rng)
+        pos = jnp.asarray(pos, jnp.float32)
+        if vel is None:
+            vel = integ.maxwell_boltzmann_velocities(
+                k_vel, self.masses, self.md.temperature)
+        idx, mask, _ = self._build_nbrs(space.wrap(pos, self.system.box))
+        init_fn, _ = self._integrator(self._force_with(idx, mask))
+        if self.md.integrator in ("langevin", "andersen"):
+            return init_fn(pos, vel, k_state)
+        return init_fn(pos, vel)
+
+    # -- fused run -----------------------------------------------------------
+
+    def _make_run(self, n_steps: int):
+        rebuild = max(1, min(self.md.rebuild_every, n_steps))
+        n_chunks = -(-n_steps // rebuild)
+        masses = self.masses
+        ndf = 3 * self.system.n_atoms
+
+        def chunk(carry, _):
+            state, any_ovf = carry
+            posw = space.wrap(state.pos, self.system.box)
+            idx, mask, ovf = self._build_nbrs(posw)
+            _, step_fn = self._integrator(self._force_with(idx, mask))
+
+            def inner(st, _):
+                st = step_fn(st)
+                ke = integ.kinetic_energy(st.vel, masses)
+                return st, (ke, 2.0 * ke / (ndf * units.KB))
+
+            state, (ke, temp) = jax.lax.scan(
+                inner, state, None, length=rebuild)
+            return (state, any_ovf | ovf), (ke, temp)
+
+        @jax.jit
+        def run(state):
+            (state, ovf), (ke, temp) = jax.lax.scan(
+                chunk, (state, jnp.asarray(False)), None, length=n_chunks)
+            thermo = Thermo(kinetic_energy=ke.reshape(-1)[:n_steps],
+                            temperature=temp.reshape(-1)[:n_steps])
+            return RunResult(state=state, thermo=thermo, overflow=ovf)
+
+        return run
+
+    def run(self, state, n_steps: int) -> RunResult:
+        """Advance n_steps (jit-compiled; cached per n_steps)."""
+        key = (n_steps, type(state).__name__)
+        if key not in self._run_cache:
+            self._run_cache[key] = self._make_run(n_steps)
+        return self._run_cache[key](state)
+
+
+def simulate(force_fn, system: SystemConfig, md: MDConfig, pos, vel=None,
+             rng=None, nbr_method: str = "dense") -> RunResult:
+    """One-call convenience wrapper: init + run md.n_steps."""
+    sim = Simulation(force_fn, system, md, nbr_method=nbr_method)
+    state = sim.init_state(pos, vel=vel, rng=rng)
+    return sim.run(state, md.n_steps)

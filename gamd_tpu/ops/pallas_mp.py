@@ -1,0 +1,193 @@
+"""Pallas TPU kernels for the message-passing hot path.
+
+Two kernels:
+
+  * pallas_gather_multiply_aggregate — the DGL-gspmm replacement
+    (gather h[idx] * gate, masked sum over K) with the gather expressed as
+    a node-tile loop of dynamic VMEM row reads.
+
+  * fused_edge_mlp_aggregate — the full per-layer edge pipeline
+    theta_edge MLP (silu -> W1 -> silu -> W2) fused with the message
+    multiply and the masked K-reduction. The [N, K, H] and [N, K, D]
+    intermediates never touch HBM: each node tile streams
+    edge_pre -> MXU matmuls -> multiply -> reduce entirely in VMEM. This is
+    the kernel that matters at large N, where those intermediates are
+    hundreds of MB of HBM traffic per conv layer.
+
+Both have jax.custom_vjp wrappers whose backward recomputes through the
+plain-XLA reference implementation, so training works unchanged while the
+forward (the MD hot loop) takes the fused path.
+
+Layout notes (see /opt/skills/guides/pallas_guide.md): last dim 128-aligned
+(D = H = 128 for GAMD configs), node tiles sized so TILE_N*K is a multiple
+of 8 sublanes; masks handled as f32 multiplies on the VPU.
+"""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from gamd_tpu.ops.aggregate import gather_multiply_aggregate
+
+
+def _silu(x):
+    return x * jax.nn.sigmoid(x)
+
+
+# ---------------------------------------------------------------------------
+# Kernel 1: gather * gate -> masked K-sum
+# ---------------------------------------------------------------------------
+
+def _gather_agg_kernel(h_ref, e_ref, idx_ref, mask_ref, out_ref, *,
+                       tile_n: int, k: int):
+    """One grid step handles TILE_N nodes; h is fully VMEM-resident."""
+    d = h_ref.shape[-1]
+    acc = jnp.zeros((tile_n, d), jnp.float32)
+    # K-major accumulation: each k contributes one gathered row per node.
+    for kk in range(k):
+        rows = []
+        for r in range(tile_n):
+            rows.append(h_ref[idx_ref[r, kk], :])
+        h_src = jnp.stack(rows, axis=0)                     # [TILE_N, D]
+        gate = e_ref[:, kk, :]
+        m = mask_ref[:, kk].astype(jnp.float32)[:, None]
+        acc = acc + m * h_src * gate
+    out_ref[:, :] = acc
+
+
+def pallas_gather_multiply_aggregate(h, e, idx, mask, tile_n: int = 8,
+                                     interpret: bool = False):
+    """Pallas version of ops.aggregate.gather_multiply_aggregate.
+
+    h [N, D], e [N, K, D], idx [N, K] int32, mask [N, K] -> [N, D].
+    N must be divisible by tile_n.
+    """
+    n, d = h.shape
+    k = idx.shape[1]
+    assert n % tile_n == 0, (n, tile_n)
+    grid = (n // tile_n,)
+    kernel = functools.partial(_gather_agg_kernel, tile_n=tile_n, k=k)
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((n, d), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),           # full h
+            pl.BlockSpec((tile_n, k, d), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile_n, k), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile_n, k), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((tile_n, d), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n, d), jnp.float32),
+        interpret=interpret,
+    )(h.astype(jnp.float32), e.astype(jnp.float32),
+      idx.astype(jnp.int32), mask)
+
+
+# ---------------------------------------------------------------------------
+# Kernel 2: fused theta_edge MLP + message multiply + masked K-sum
+# ---------------------------------------------------------------------------
+
+def _fused_mlp_agg_kernel(pre_ref, hsrc_ref, mask_ref, w1_ref, b1_ref,
+                          w2_ref, b2_ref, out_ref, *, tile_n: int, k: int):
+    h_dim = w1_ref.shape[0]
+    d = w2_ref.shape[1]
+    # [TILE_N*K, H] edge pre-activations for this node tile.
+    x = pre_ref[:, :, :].reshape(tile_n * k, h_dim)
+    z = _silu(x)
+    z = jnp.dot(z, w1_ref[:, :], preferred_element_type=jnp.float32)
+    z = _silu(z + b1_ref[0, :])
+    m = jnp.dot(z, w2_ref[:, :], preferred_element_type=jnp.float32)
+    m = m + b2_ref[0, :]
+    msg = m.reshape(tile_n, k, d) * hsrc_ref[:, :, :]
+    msk = mask_ref[:, :].astype(jnp.float32)[:, :, None]
+    out_ref[:, :] = jnp.sum(msg * msk, axis=1)
+
+
+def _fused_forward(edge_pre, h_src, mask, w1, b1, w2, b2, tile_n, interpret):
+    n, k, h_dim = edge_pre.shape
+    d = w2.shape[1]
+    assert n % tile_n == 0, (n, tile_n)
+    kernel = functools.partial(_fused_mlp_agg_kernel, tile_n=tile_n, k=k)
+    return pl.pallas_call(
+        kernel,
+        grid=(n // tile_n,),
+        in_specs=[
+            pl.BlockSpec((tile_n, k, h_dim), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile_n, k, d), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile_n, k), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((h_dim, h_dim), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, h_dim), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((h_dim, d), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, d), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((tile_n, d), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n, d), jnp.float32),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * n * k * h_dim * (h_dim + d) + 4 * n * k * d,
+            bytes_accessed=4 * n * k * (h_dim + 2 * d),
+            transcendentals=2 * n * k * h_dim,
+        ),
+        interpret=interpret,
+    )(edge_pre.astype(jnp.float32), h_src.astype(jnp.float32), mask,
+      w1.astype(jnp.float32), b1.reshape(1, -1).astype(jnp.float32),
+      w2.astype(jnp.float32), b2.reshape(1, -1).astype(jnp.float32))
+
+
+def _fused_reference(edge_pre, h_src, mask, w1, b1, w2, b2):
+    """Plain-XLA equivalent (used for the backward pass and testing)."""
+    z = _silu(_silu(edge_pre) @ w1 + b1)
+    m = z @ w2 + b2
+    return jnp.sum(jnp.where(mask[..., None], h_src * m, 0.0), axis=1)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8))
+def fused_edge_mlp_aggregate(edge_pre, h_src, mask, w1, b1, w2, b2,
+                             tile_n: int = 8, interpret: bool = False):
+    """out[i] = sum_k mask[i,k] * h_src[i,k] * theta_edge(edge_pre[i,k]).
+
+    theta_edge is the reference's activation-first 2-layer MLP
+    (silu -> Linear -> silu -> Linear; /root/reference/code/nn_module.py:98-100).
+
+    Args:
+        edge_pre: [N, K, H] summed edge/src/dst affine pre-activations.
+        h_src:    [N, K, D] gathered source-node features.
+        mask:     [N, K] bool.
+        w1 [H, H], b1 [H], w2 [H, D], b2 [D]: theta_edge weights.
+    """
+    return _fused_forward(edge_pre, h_src, mask, w1, b1, w2, b2, tile_n,
+                          interpret)
+
+
+def _fused_fwd(edge_pre, h_src, mask, w1, b1, w2, b2, tile_n, interpret):
+    out = _fused_forward(edge_pre, h_src, mask, w1, b1, w2, b2, tile_n,
+                         interpret)
+    return out, (edge_pre, h_src, mask, w1, b1, w2, b2)
+
+
+def _fused_bwd(tile_n, interpret, residuals, g):
+    edge_pre, h_src, mask, w1, b1, w2, b2 = residuals
+    _, vjp = jax.vjp(
+        lambda ep, hs, a, c, d_, e_: _fused_reference(ep, hs, mask, a, c,
+                                                      d_, e_),
+        edge_pre, h_src, w1, b1, w2, b2)
+    d_ep, d_hs, d_w1, d_b1, d_w2, d_b2 = vjp(g)
+    return d_ep, d_hs, None, d_w1, d_b1, d_w2, d_b2
+
+
+fused_edge_mlp_aggregate.defvjp(_fused_fwd, _fused_bwd)

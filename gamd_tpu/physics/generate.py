@@ -1,0 +1,87 @@
+"""Ground-truth dataset generation with the classical LJ potential.
+
+First-party replacement for the reference's OpenMM-based generator
+(reference: /root/reference/dataset/generate_lj_data.py): per seed, randomly
+rotate + jitter the initial configuration, minimize, thermalize with a
+Nose-Hoover chain (chain 10, n_c 5, n_ys 5, T = 100 K, friction 25/ps,
+dt 2 fs), then record 1000 frames spaced 50 steps apart. Frames are written
+in the exact reference layout: data_{seed}_{t}.npz with keys pos (angstrom),
+vel (m/s), forces (kJ/mol/nm) (generate_lj_data.py:93-106).
+"""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from gamd_tpu.core import space, units
+from gamd_tpu.core.config import MDConfig, get_preset
+from gamd_tpu.md.simulate import Simulation
+from gamd_tpu.physics import lennard_jones as lj
+from gamd_tpu.physics.minimize import fire_minimize
+
+
+def random_rotation_matrix(rng: np.random.RandomState):
+    """Uniform-ish random rotation from three Euler angles in [-pi, pi]
+    (reference: generate_lj_data.py:23-44)."""
+    angles = rng.uniform(-1.0, 1.0, size=(3,)) * np.pi
+    cx, sx = np.cos(angles[0]), np.sin(angles[0])
+    cy, sy = np.cos(angles[1]), np.sin(angles[1])
+    cz, sz = np.cos(angles[2]), np.sin(angles[2])
+    rx = np.array([[1, 0, 0], [0, cx, -sx], [0, sx, cx]], np.float32)
+    ry = np.array([[cy, 0, sy], [0, 1, 0], [-sy, 0, cy]], np.float32)
+    rz = np.array([[cz, -sz, 0], [sz, cz, 0], [0, 0, 1]], np.float32)
+    return rz @ ry @ rx
+
+
+def generate_lj_dataset(out_dir, seeds=10, frames_per_seed=1000,
+                        record_interval=50, n_particles=258,
+                        minimize_steps=2000, log_every_frames=100,
+                        params: lj.LJParams = lj.LJParams()):
+    """Generate the LJ training set; returns the output directory."""
+    os.makedirs(out_dir, exist_ok=True)
+    system = get_preset("lj")
+    box, lattice = lj.lj_fluid_box(n_particles, 0.5, params)
+    md = MDConfig(integrator="nose_hoover", temperature=system.temperature,
+                  dt_fs=system.dt_fs, friction_per_ps=system.friction_per_ps,
+                  chain_length=10, chain_mts=5, chain_ys=5,
+                  rebuild_every=10)
+
+    force_fn = lj.lj_force_fn(box, params)
+    sim = Simulation(force_fn, system, md)
+    dense_force = jax.jit(lambda p: lj.lj_forces_dense(p, box, params))
+
+    for seed in range(seeds):
+        host_rng = np.random.RandomState(seed)
+        # Rotate + jitter the lattice (generate_lj_data.py:59-65).
+        r_mat = random_rotation_matrix(host_rng)
+        pos = lattice - lattice.mean(axis=0)
+        pos = pos @ r_mat + lattice.mean(axis=0)
+        pos = pos + host_rng.randn(*pos.shape).astype(np.float32) * 0.005
+        pos = np.asarray(space.wrap(jnp.asarray(pos), box))
+
+        # Minimize with the classical potential.
+        pos, _ = fire_minimize(dense_force, jnp.asarray(pos),
+                               n_steps=minimize_steps)
+
+        state = sim.init_state(pos, rng=jax.random.PRNGKey(1000 + seed))
+        for t in range(frames_per_seed):
+            p = np.asarray(space.wrap(state.pos, box), np.float32)
+            f = np.asarray(dense_force(jnp.asarray(p)), np.float32)
+            v = np.asarray(state.vel, np.float32)
+            np.savez(os.path.join(out_dir, f"data_{seed}_{t}.npz"),
+                     pos=p,
+                     vel=v / units.M_PER_S_TO_INTERNAL,
+                     forces=f / units.KJ_MOL_NM_TO_INTERNAL)
+            result = sim.run(state, record_interval)
+            state = result.state
+            if bool(result.overflow):
+                raise RuntimeError(
+                    "neighbor capacity overflow during generation; "
+                    "increase SystemConfig.nbr_capacity")
+            if (t + 1) % log_every_frames == 0:
+                temp = float(result.thermo.temperature[-1])
+                print(f"seed {seed}: frame {t + 1}/{frames_per_seed} "
+                      f"T={temp:.1f}K", flush=True)
+    return out_dir

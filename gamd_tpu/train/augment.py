@@ -1,0 +1,60 @@
+"""Data augmentation inside the jitted train step.
+
+Reference semantics (reference:
+/root/reference/code/LJ/train_network_lj.py:38-66, 208-228):
+
+  * with probability 0.3, rotate positions AND ground-truth forces by a
+    random composition of axis rotations with angles drawn from
+    randint(-2, 2) * pi — i.e. axis-aligned half-turn flips;
+  * rotation is applied about the frame centroid after wrapping, then the
+    centroid offset is restored;
+  * independent Gaussian position jitter (sigma = 0.005 A for LJ/water,
+    0.00025 bohr for DFT) applied AFTER the neighbor search.
+
+The reference does this in numpy on the host; here it is jax so the whole
+step stays on device.
+"""
+
+import jax
+import jax.numpy as jnp
+
+
+def random_flip_rotation(rng, prob=0.3):
+    """[3, 3] rotation matrix: identity, or (with prob) axis-aligned k*pi
+    rotations composed Rz @ Ry @ Rx, k in {-2, -1, 0, 1}."""
+    k_apply, k_angles = jax.random.split(rng)
+    apply = jax.random.uniform(k_apply) < prob
+    ks = jax.random.randint(k_angles, (3,), -2, 2).astype(jnp.float32)
+    angles = jnp.where(apply, ks * jnp.pi, jnp.zeros(3))
+    cx, sx = jnp.cos(angles[0]), jnp.sin(angles[0])
+    cy, sy = jnp.cos(angles[1]), jnp.sin(angles[1])
+    cz, sz = jnp.cos(angles[2]), jnp.sin(angles[2])
+    rx = jnp.array([[1, 0, 0], [0, cx, -sx], [0, sx, cx]])
+    ry = jnp.array([[cy, 0, sy], [0, 1, 0], [-sy, 0, cy]])
+    rz = jnp.array([[cz, -sz, 0], [sz, cz, 0], [0, 0, 1]])
+    return rz @ ry @ rx
+
+
+def rotate_sample(rng, pos, forces, box, prob=0.3, rotate_box=False,
+                  box_vec=None):
+    """Apply the reference's rotation augmentation to one frame.
+
+    pos: [N, 3]; forces: [N, 3]; box: scalar (wrap modulus).
+    If rotate_box (DFT config), the per-sample box 3-vector is rotated too
+    (reference: train_network_real_large.py:181).
+    """
+    r = random_flip_rotation(rng, prob)
+    p = jnp.mod(pos, box) if box is not None else pos
+    offset = jnp.mean(p, axis=0)
+    p = (p - offset) @ r + offset
+    f = forces @ r
+    if rotate_box and box_vec is not None:
+        box_vec = jnp.abs(box_vec @ r)
+        return p, f, box_vec
+    return p, f, box_vec
+
+
+def jitter_positions(rng, pos, sigma=0.005):
+    """Gaussian position noise (applied after neighbor search,
+    reference: train_network_lj.py:228)."""
+    return pos + sigma * jax.random.normal(rng, pos.shape, pos.dtype)

@@ -1,0 +1,160 @@
+"""Datasets reading the reference's .npz layouts.
+
+Two formats (reference: /root/reference/code/train_utils.py):
+
+  * per-frame files data_{seed}_{t}.npz with keys pos/vel/forces, 10 seeds x
+    1000 frames, deterministic 90/10 split from a seed-0 numpy shuffle
+    (train_utils.py:36-43). TIP4P frames contain a virtual M site every 4th
+    atom which the loader drops from pos and forces (train_utils.py:58-64).
+  * one big npz with pos/force/box/atom_type/train_idx/test_idx for the RPBE
+    DFT data (train_utils.py:117-163), optional use_part -> first 1500
+    training frames.
+
+Frames of one system all share N, so batches stack to dense [B, N, 3]
+arrays — no ragged collation. An optional pack cache concatenates the
+thousands of tiny npz files into one .npy blob for fast epoch iteration.
+"""
+
+import os
+from typing import Iterator, Optional
+
+import numpy as np
+
+
+def reference_split(n_total: int, train_fraction: float = 0.9):
+    """The reference's exact split: np.random.seed(0) shuffle of arange
+    (train_utils.py:36-43)."""
+    idxs = np.arange(n_total)
+    rng = np.random.RandomState(0)
+    rng.shuffle(idxs)
+    n_train = int(n_total * train_fraction)
+    return idxs[:n_train], idxs[n_train:]
+
+
+def _drop_m_sites(arr):
+    """Remove every 4th row (TIP4P virtual site; train_utils.py:58-64)."""
+    return arr[np.mod(np.arange(arr.shape[0]), 4) < 3]
+
+
+class TrajectoryDataset:
+    """data_{seed}_{t}.npz trajectory frames (LJ / TIP3P / TIP4P)."""
+
+    def __init__(self, dataset_path, sample_num=1000, seed_num=10,
+                 mode="train", data_type="lj", case_prefix="data_",
+                 split=(0.9, 0.1), pack_cache: Optional[str] = None):
+        assert mode in ("train", "test")
+        self.dataset_path = dataset_path
+        self.sample_num = sample_num
+        self.seed_num = seed_num
+        self.data_type = data_type
+        self.case_prefix = case_prefix
+        train_idx, test_idx = reference_split(seed_num * sample_num, split[0])
+        self.idx = train_idx if mode == "train" else test_idx
+
+        self._packed = None
+        if pack_cache is not None:
+            self._packed = self._load_or_build_pack(pack_cache)
+
+        if data_type in ("tip3p", "tip4p"):
+            # One-hot O=1/H=0 node feature from the O,H,H pattern
+            # (train_utils.py:24-30).
+            n = self.n_atoms
+            self.particle_type_one_hot = (
+                (np.arange(n) % 3 == 0).astype(np.float32).reshape(-1, 1))
+        else:
+            self.particle_type_one_hot = None
+
+    @property
+    def n_atoms(self):
+        sample = self._read_raw(0)
+        return sample["pos"].shape[0]
+
+    def __len__(self):
+        return len(self.idx)
+
+    def _fname(self, flat_idx):
+        seed = flat_idx // self.sample_num
+        t = flat_idx % self.sample_num
+        return os.path.join(self.dataset_path,
+                            f"{self.case_prefix}{seed}_{t}.npz")
+
+    def _read_raw(self, flat_idx):
+        if self._packed is not None:
+            pos, forces = self._packed
+            return {"pos": pos[flat_idx], "forces": forces[flat_idx]}
+        with np.load(self._fname(flat_idx)) as raw:
+            pos = raw["pos"].astype(np.float32)
+            forces = raw["forces"].astype(np.float32)
+        if self.data_type == "tip4p":
+            pos = _drop_m_sites(pos)
+            forces = _drop_m_sites(forces)
+        return {"pos": pos, "forces": forces}
+
+    def _load_or_build_pack(self, cache_path):
+        """Concatenate all frames into one memory-mapped blob (host-side IO
+        optimization; the reference re-opens thousands of npz files per
+        epoch through torch DataLoader workers)."""
+        if os.path.exists(cache_path):
+            with np.load(cache_path, mmap_mode="r") as z:
+                return z["pos"], z["forces"]
+        all_pos, all_forces = [], []
+        for flat in range(self.seed_num * self.sample_num):
+            frame = TrajectoryDataset.__dict__["_read_raw"](self, flat)
+            all_pos.append(frame["pos"])
+            all_forces.append(frame["forces"])
+        pos = np.stack(all_pos)
+        forces = np.stack(all_forces)
+        np.savez(cache_path, pos=pos, forces=forces)
+        return pos, forces
+
+    def __getitem__(self, i):
+        frame = self._read_raw(int(self.idx[i]))
+        if self.particle_type_one_hot is not None:
+            frame["feat"] = self.particle_type_one_hot
+        return frame
+
+
+class RealLargeDataset:
+    """RPBE/DFT single-npz dataset with per-frame boxes
+    (train_utils.py:117-163)."""
+
+    def __init__(self, dataset_path, mode="train", use_part=False):
+        assert mode in ("train", "test")
+        with np.load(dataset_path, allow_pickle=True) as z:
+            train_idx = z["train_idx"]
+            test_idx = z["test_idx"]
+            self.pos = z["pos"]
+            self.forces = z["force"]
+            self.box_size = z["box"]
+            self.atom_type = z["atom_type"]
+        if mode == "train":
+            self.idx = train_idx[:1500] if use_part else train_idx
+        else:
+            self.idx = test_idx
+
+    def __len__(self):
+        return len(self.idx)
+
+    def __getitem__(self, i):
+        j = self.idx[i]
+        atom_type = np.asarray(self.atom_type[j]).reshape(-1)
+        feat = (atom_type == 1).astype(np.float32).reshape(-1, 1)
+        return {
+            "pos": self.pos[j].astype(np.float32),
+            "forces": self.forces[j].astype(np.float32),
+            "feat": feat,
+            "box_size": np.asarray(self.box_size[j], np.float32),
+        }
+
+
+def batch_iterator(dataset, batch_size, shuffle=True, seed=0,
+                   drop_last=True) -> Iterator[dict]:
+    """Stack frames into dense [B, N, ...] numpy batches."""
+    order = np.arange(len(dataset))
+    if shuffle:
+        np.random.RandomState(seed).shuffle(order)
+    end = len(order) - (len(order) % batch_size) if drop_last else len(order)
+    for start in range(0, end, batch_size):
+        items = [dataset[int(i)] for i in order[start:start + batch_size]]
+        batch = {k: np.stack([it[k] for it in items]) for k in items[0]}
+        yield batch

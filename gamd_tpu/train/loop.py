@@ -1,0 +1,272 @@
+"""Jitted training / evaluation steps and the epoch driver.
+
+One fused device program per training step: rotation augmentation, neighbor
+search, streaming scaler updates, GNN forward, loss, backward, Adam — the
+pipeline the reference spreads over numpy, sklearn, jax-md, CuPy, DGL and
+Lightning with host hops between each (reference:
+/root/reference/code/LJ/train_network_lj.py:201-249 and §3.1 of SURVEY.md).
+
+Data parallelism is pjit-style: the step is jitted with the batch sharded
+over the mesh's 'dp' axis and parameters replicated; XLA inserts the gradient
+all-reduce (over ICI on real hardware). Because the scaler updates reduce
+over the global batch inside the same program, normalizer statistics stay
+identical on every shard — fixing the reference's unsynchronized per-rank
+StandardScaler hazard (SURVEY.md §2.3).
+"""
+
+import os
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from gamd_tpu.core import space
+from gamd_tpu.core.config import ModelConfig, SystemConfig, TrainConfig
+from gamd_tpu.models.normalizer import normalize, update_stat
+from gamd_tpu.neighbors.dense import dense_neighbor_list
+from gamd_tpu.neighbors.topology import neighbor_bond_channel
+from gamd_tpu.train import augment
+from gamd_tpu.train.checkpoint import save_checkpoint, save_scaler
+from gamd_tpu.train.state import (
+    TrainState,
+    build_model,
+    create_train_state,
+    make_optimizer,
+)
+
+
+def _batch_box(system: SystemConfig, batch):
+    if system.box is not None:
+        return system.box, None            # static scalar box
+    box = batch["box_size"]                # [B] or [B, 3] traced
+    return box, box
+
+
+def _broadcast_box(box, pos):
+    """Shape a scalar/[B]/[B,3] box for elementwise ops against [B,N,3]."""
+    box = jnp.asarray(box)
+    if box.ndim == 0:
+        return box
+    if box.ndim == 1:
+        return box[:, None, None]
+    return box[:, None, :]
+
+
+def _search_batch(pos, box, cutoff, k_max):
+    """vmapped dense neighbor search over the batch."""
+    if jnp.ndim(box) == 0 or not hasattr(box, "ndim"):
+        fn = lambda p: dense_neighbor_list(p, box, cutoff, k_max)
+        idx, mask, ovf = jax.vmap(fn)(pos)
+    else:
+        fn = lambda p, b: dense_neighbor_list(p, b, cutoff, k_max)
+        idx, mask, ovf = jax.vmap(fn)(pos, box)
+    return idx, mask, jnp.any(ovf)
+
+
+def _edge_distances(pos, idx, box):
+    """[B, N, K] min-image distances for the length scaler."""
+    nbr = jax.vmap(lambda p, i: p[i])(pos, idx)
+    box_b = jnp.asarray(box)
+    if box_b.ndim == 1:
+        box_b = box_b[:, None, None, None]
+    elif box_b.ndim == 2:
+        box_b = box_b[:, None, None, :]
+    rel = space.min_image(nbr - pos[:, :, None, :], box_b)
+    return jnp.sqrt(jnp.sum(rel * rel, axis=-1))
+
+
+def _apply_model(model, params, batch_stats, inputs, train, rngs):
+    variables = {"params": params}
+    if batch_stats:
+        variables["batch_stats"] = batch_stats
+    mutable = ["batch_stats"] if (train and batch_stats) else False
+    out = model.apply(variables, *inputs["args"], **inputs["kwargs"],
+                      train=train, rngs=rngs if train else None,
+                      mutable=mutable)
+    if mutable:
+        pred, updated = out
+        return pred, updated.get("batch_stats", batch_stats)
+    return out, batch_stats
+
+
+def make_train_step(model, system: SystemConfig, train_cfg: TrainConfig,
+                    tx):
+    """Returns jitted train_step(state, batch) -> (state, metrics)."""
+
+    @jax.jit
+    def train_step(state: TrainState, batch):
+        rng = jax.random.fold_in(state.rng, state.step)
+        k_aug, k_jit, k_drop, k_edge = jax.random.split(rng, 4)
+
+        pos = batch["pos"]
+        gt = batch["forces"]
+        b = pos.shape[0]
+        box, per_sample_box = _batch_box(system, batch)
+
+        # -- rotation augmentation (pos AND forces) -----------------------
+        if train_cfg.rotate_aug:
+            keys = jax.random.split(k_aug, b)
+            if per_sample_box is None:
+                pos, gt, _ = jax.vmap(
+                    lambda k, p, f: augment.rotate_sample(
+                        k, p, f, system.box, prob=train_cfg.rotate_prob)
+                )(keys, pos, gt)
+            else:
+                pos, gt, box = jax.vmap(
+                    lambda k, p, f, bx: augment.rotate_sample(
+                        k, p, f, None, prob=train_cfg.rotate_prob,
+                        rotate_box=True, box_vec=bx)
+                )(keys, pos, gt, per_sample_box)
+
+        pos = space.wrap(pos, _broadcast_box(box, pos))
+
+        # -- neighbor search on pre-jitter positions ----------------------
+        idx, mask, overflow = _search_batch(pos, box, system.cutoff,
+                                            system.nbr_capacity)
+
+        # -- jitter after the search (reference: train_network_lj.py:228) -
+        pos = augment.jitter_positions(k_jit, pos, train_cfg.jitter_sigma)
+
+        # -- streaming scalers (global-batch reduction) --------------------
+        dist = _edge_distances(pos, idx, box)
+        length_stat = update_stat(state.length_stat, dist, mask=mask)
+        force_stat = update_stat(state.force_stat, gt)
+        gt_norm = normalize(gt, force_stat)
+
+        bond = None
+        if model.use_bond:
+            bond = jax.vmap(neighbor_bond_channel)(idx)
+        inputs = {
+            "args": (pos, idx, mask, box, length_stat.safe_mean,
+                     jnp.maximum(length_stat.std, 1e-12)),
+            "kwargs": {"node_feat": batch.get("feat"), "bond": bond},
+        }
+
+        def loss_fn(params):
+            pred, new_bs = _apply_model(
+                model, params, state.batch_stats, inputs, True,
+                {"dropout": k_drop, "drop_edge": k_edge})
+            if train_cfg.loss == "mae":
+                data_loss = jnp.mean(jnp.abs(pred - gt_norm))
+            else:
+                data_loss = jnp.mean((pred - gt_norm) ** 2)
+            net_force = jnp.abs(jnp.mean(pred))
+            loss = data_loss + train_cfg.lambda_net_force * net_force
+            return loss, (new_bs, data_loss, net_force)
+
+        (loss, (new_bs, data_loss, net_force)), grads = (
+            jax.value_and_grad(loss_fn, has_aux=True)(state.params))
+        updates, new_opt = tx.update(grads, state.opt_state, state.params)
+        new_params = jax.tree.map(lambda p, u: p + u, state.params, updates)
+
+        new_state = state.replace(
+            params=new_params, batch_stats=new_bs, opt_state=new_opt,
+            force_stat=force_stat, length_stat=length_stat,
+            step=state.step + 1)
+        metrics = {
+            "loss": loss,
+            "data_loss": data_loss,
+            "net_force": net_force,
+            "force_std": force_stat.std,
+            "nbr_overflow": overflow,
+        }
+        return new_state, metrics
+
+    return train_step
+
+
+def make_eval_step(model, system: SystemConfig):
+    """Validation metrics on normalized forces (reference:
+    train_network_lj.py:284-315: val mse/mae + outlier ratio)."""
+
+    @jax.jit
+    def eval_step(state: TrainState, batch):
+        pos = batch["pos"]
+        gt = batch["forces"]
+        box, _ = _batch_box(system, batch)
+        pos = space.wrap(pos, _broadcast_box(box, pos))
+        idx, mask, _ = _search_batch(pos, box, system.cutoff,
+                                     system.nbr_capacity)
+        gt_norm = normalize(gt, state.force_stat)
+        bond = None
+        if model.use_bond:
+            bond = jax.vmap(neighbor_bond_channel)(idx)
+        inputs = {
+            "args": (pos, idx, mask, box, state.length_stat.safe_mean,
+                     jnp.maximum(state.length_stat.std, 1e-12)),
+            "kwargs": {"node_feat": batch.get("feat"), "bond": bond},
+        }
+        pred, _ = _apply_model(model, state.params, state.batch_stats,
+                               inputs, False, None)
+        err = pred - gt_norm
+        mae = jnp.mean(jnp.abs(err))
+        mse = jnp.mean(err**2)
+        ratio = jnp.abs(err.reshape(-1)) / (jnp.abs(pred.reshape(-1)) + 1e-8)
+        outlier = jnp.mean(ratio > 10.0)
+        return {"val_mae": mae, "val_mse": mse, "val_outlier": outlier}
+
+    return eval_step
+
+
+def train(system: SystemConfig, model_cfg: ModelConfig,
+          train_cfg: TrainConfig, train_data, val_data=None,
+          ckpt_dir: Optional[str] = None, mesh=None, log_fn=print,
+          state: Optional[TrainState] = None):
+    """Epoch driver. Returns the final TrainState.
+
+    If `mesh` is given, batches are sharded over its 'dp' axis (the batch
+    size must be divisible by the axis size) and the same jitted step runs
+    SPMD across devices.
+    """
+    from gamd_tpu.train.data import batch_iterator
+
+    steps_per_epoch = max(len(train_data) // train_cfg.batch_size, 1)
+    model = build_model(model_cfg, system)
+    tx = make_optimizer(train_cfg, steps_per_epoch)
+    if state is None:
+        state = create_train_state(model, system, train_cfg, steps_per_epoch)
+
+    train_step = make_train_step(model, system, train_cfg, tx)
+    eval_step = make_eval_step(model, system)
+
+    sharding = None
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        sharding = NamedSharding(mesh, P("dp"))
+
+    def put(batch):
+        if sharding is None:
+            return {k: jnp.asarray(v) for k, v in batch.items()}
+        return {k: jax.device_put(v, sharding) for k, v in batch.items()}
+
+    for epoch in range(train_cfg.max_epoch):
+        last = {}
+        for batch in batch_iterator(train_data, train_cfg.batch_size,
+                                    shuffle=True, seed=train_cfg.seed + epoch):
+            state, metrics = train_step(state, put(batch))
+            last = metrics
+        msg = {k: float(v) for k, v in last.items()}
+        log_fn(f"epoch {epoch}: " + ", ".join(
+            f"{k}={v:.6f}" for k, v in msg.items()))
+
+        if val_data is not None:
+            agg = []
+            for batch in batch_iterator(val_data, train_cfg.batch_size,
+                                        shuffle=False, drop_last=True):
+                agg.append(eval_step(state, put(batch)))
+            if agg:
+                means = {k: float(np.mean([float(m[k]) for m in agg]))
+                         for k in agg[0]}
+                log_fn(f"epoch {epoch} val: " + ", ".join(
+                    f"{k}={v:.6f}" for k, v in means.items()))
+
+        if ckpt_dir and (epoch % train_cfg.checkpoint_every == 0
+                         or epoch == train_cfg.max_epoch - 1):
+            os.makedirs(ckpt_dir, exist_ok=True)
+            save_checkpoint(os.path.join(ckpt_dir, f"checkpoint_{epoch}.msgpack"),
+                            state)
+            save_scaler(os.path.join(ckpt_dir, f"scaler_{epoch}.npz"), state)
+
+    return state

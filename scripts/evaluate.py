@@ -1,0 +1,106 @@
+#!/usr/bin/env python
+"""Offline force-accuracy evaluation on the held-out test split.
+
+Produces the metrics the reference computes in its analysis notebooks
+(reference: /root/reference/code/LJ/test_script/lj.ipynb cell 3,
+/root/reference/code/water/test_script/post-analysis.ipynb cells 2-19):
+force cosine similarity, MAE, RMSE, per-sample std, relative MAE (normalized
+by the mean ground-truth force norm), and outlier ratio — in eV/A after the
+same unit conversions (kJ/mol/nm x 0.0010364; Hartree/bohr x 27/0.52917).
+
+Example:
+    python scripts/evaluate.py --system lj --ckpt model_ckpt/checkpoint_29.msgpack \
+        --data_dir ./md_dataset/lj_data
+"""
+
+import argparse
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--system", default="lj",
+                        choices=["lj", "tip3p", "tip4p", "dft"])
+    parser.add_argument("--ckpt", required=True)
+    parser.add_argument("--data_dir", required=True)
+    parser.add_argument("--encoding_size", default=128, type=int)
+    parser.add_argument("--hidden_dim", default=128, type=int)
+    parser.add_argument("--edge_embedding_dim", default=128, type=int)
+    parser.add_argument("--conv_layer", default=4, type=int)
+    parser.add_argument("--max_frames", default=None, type=int)
+    parser.add_argument("--json_out", default=None)
+    args = parser.parse_args()
+
+    import numpy as np
+
+    from gamd_tpu.core import units
+    from gamd_tpu.core.config import ModelConfig, TrainConfig, get_preset
+    from gamd_tpu.train.checkpoint import load_checkpoint
+    from gamd_tpu.train.data import RealLargeDataset, TrajectoryDataset
+    from gamd_tpu.train.forcefield import GNNForceField
+    from gamd_tpu.train.state import build_model, create_train_state
+
+    system = get_preset(args.system)
+    model_cfg = ModelConfig(
+        encoding_size=args.encoding_size, hidden_dim=args.hidden_dim,
+        edge_embedding_dim=args.edge_embedding_dim,
+        conv_layers=args.conv_layer, use_layer_norm=True,
+        flip_dir=(args.system == "dft"))
+
+    model = build_model(model_cfg, system)
+    state = create_train_state(model, system, TrainConfig(), 1)
+    state = load_checkpoint(args.ckpt, state)
+    ff = GNNForceField(state, system, model_cfg)
+
+    if args.system == "dft":
+        ds = RealLargeDataset(args.data_dir, mode="test")
+        to_ev_a = units.HARTREE_TO_KJ_MOL / units.BOHR_TO_ANGSTROM \
+            * units.KJ_MOL_NM_TO_EV_A * 10.0  # Ha/bohr -> eV/A
+    else:
+        ds = TrajectoryDataset(args.data_dir, mode="test",
+                               data_type=args.system)
+        to_ev_a = units.KJ_MOL_NM_TO_EV_A
+
+    n = len(ds) if args.max_frames is None else min(len(ds), args.max_frames)
+    preds, gts = [], []
+    for i in range(n):
+        item = ds[i]
+        box = item.get("box_size")
+        pred = np.asarray(ff.predict(item["pos"], box=box))
+        preds.append(pred)
+        gts.append(item["forces"])
+    pred = np.stack(preds) * to_ev_a
+    gt = np.stack(gts) * to_ev_a
+
+    flat_p = pred.reshape(-1, 3)
+    flat_g = gt.reshape(-1, 3)
+    cos = np.sum(flat_p * flat_g, axis=1) / (
+        np.linalg.norm(flat_p, axis=1) * np.linalg.norm(flat_g, axis=1) + 1e-12)
+    err = flat_p - flat_g
+    mae = np.abs(err).mean()
+    rmse = np.sqrt((err**2).mean())
+    rel_mae = mae / np.abs(flat_g).mean()
+    ratio = np.abs(err.reshape(-1)) / (np.abs(flat_p.reshape(-1)) + 1e-8)
+    metrics = {
+        "frames": int(n),
+        "force_cosine_similarity": float(cos.mean()),
+        "force_mae_ev_a": float(mae),
+        "force_rmse_ev_a": float(rmse),
+        "relative_mae": float(rel_mae),
+        "outlier_ratio": float((ratio > 10.0).mean()),
+        "per_sample_mae_std": float(
+            np.abs(pred - gt).mean(axis=(1, 2)).std()),
+    }
+    for k, v in metrics.items():
+        print(f"{k}: {v}")
+    if args.json_out:
+        with open(args.json_out, "w") as f:
+            json.dump(metrics, f, indent=2)
+
+
+if __name__ == "__main__":
+    main()

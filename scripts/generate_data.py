@@ -1,0 +1,37 @@
+#!/usr/bin/env python
+"""Generate classical ground-truth training data (the reference's
+dataset/generate_*_data.py, OpenMM-free).
+
+Example:
+    python scripts/generate_data.py --out ./md_dataset/lj_data \
+        --seeds 10 --frames 1000
+"""
+
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--system", default="lj", choices=["lj"])
+    parser.add_argument("--out", default="./md_dataset/lj_data")
+    parser.add_argument("--seeds", default=10, type=int)
+    parser.add_argument("--frames", default=1000, type=int)
+    parser.add_argument("--interval", default=50, type=int)
+    parser.add_argument("--particles", default=258, type=int)
+    args = parser.parse_args()
+
+    from gamd_tpu.physics.generate import generate_lj_dataset
+
+    generate_lj_dataset(args.out, seeds=args.seeds,
+                        frames_per_seed=args.frames,
+                        record_interval=args.interval,
+                        n_particles=args.particles)
+    print(f"Wrote {args.seeds * args.frames} frames to {args.out}")
+
+
+if __name__ == "__main__":
+    main()

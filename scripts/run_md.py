@@ -1,0 +1,115 @@
+#!/usr/bin/env python
+"""GNN-driven NVT molecular dynamics rollout (the reference's test_script/
+rollout drivers, fused: reference /root/reference/code/LJ/test_script/
+test_langevin.py and test_nosehoover.py become one CLI).
+
+Example:
+    python scripts/run_md.py --system lj --ckpt model_ckpt/checkpoint_29.msgpack \
+        --integrator langevin --steps 25000 --log log_nvt_gnn_langevin_lj.txt
+"""
+
+import argparse
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--system", default="lj",
+                        choices=["lj", "tip3p", "tip4p"])
+    parser.add_argument("--ckpt", required=False, default=None,
+                        help="TrainState msgpack checkpoint (untrained if omitted)")
+    parser.add_argument("--init_pos", default=None,
+                        help=".npy initial positions (angstrom); "
+                             "default: minimized lattice/random box")
+    parser.add_argument("--integrator", default="langevin",
+                        choices=["langevin", "nose_hoover", "nve", "andersen"])
+    parser.add_argument("--steps", default=25000, type=int)
+    parser.add_argument("--temperature", default=None, type=float)
+    parser.add_argument("--friction", default=None, type=float,
+                        help="1/ps collision rate / NHC frequency")
+    parser.add_argument("--dt", default=2.0, type=float, help="fs")
+    parser.add_argument("--rebuild_every", default=20, type=int)
+    parser.add_argument("--report_every", default=100, type=int)
+    parser.add_argument("--log", default="log_nvt_gnn.txt")
+    parser.add_argument("--out_traj", default=None,
+                        help="optional .npy to save final positions")
+    parser.add_argument("--encoding_size", default=128, type=int)
+    parser.add_argument("--hidden_dim", default=128, type=int)
+    parser.add_argument("--edge_embedding_dim", default=128, type=int)
+    parser.add_argument("--conv_layer", default=4, type=int)
+    parser.add_argument("--seed", default=0, type=int)
+    args = parser.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from gamd_tpu.core.config import (MDConfig, ModelConfig, TrainConfig,
+                                      get_preset)
+    from gamd_tpu.md.reporters import StateReporter
+    from gamd_tpu.md.simulate import Simulation
+    from gamd_tpu.physics import lennard_jones as lj
+    from gamd_tpu.physics.minimize import fire_minimize
+    from gamd_tpu.train.checkpoint import load_checkpoint
+    from gamd_tpu.train.forcefield import GNNForceField
+    from gamd_tpu.train.state import build_model, create_train_state
+
+    system = get_preset(args.system)
+    model_cfg = ModelConfig(
+        encoding_size=args.encoding_size, hidden_dim=args.hidden_dim,
+        edge_embedding_dim=args.edge_embedding_dim,
+        conv_layers=args.conv_layer, use_layer_norm=True)
+
+    model = build_model(model_cfg, system)
+    state = create_train_state(model, system, TrainConfig(), 1)
+    if args.ckpt:
+        state = load_checkpoint(args.ckpt, state)
+        print(f"Loaded {args.ckpt}")
+    ff = GNNForceField(state, system, model_cfg)
+
+    # Initial positions.
+    if args.init_pos:
+        pos = np.load(args.init_pos).astype(np.float32)
+    elif args.system == "lj":
+        _, pos = lj.lj_fluid_box(system.n_atoms, 0.5)
+        force = lambda p: lj.lj_forces_dense(p, system.box)
+        pos, _ = fire_minimize(force, jnp.asarray(pos), n_steps=1000)
+        pos = np.asarray(pos)
+    else:
+        raise SystemExit("water systems need --init_pos")
+
+    md = MDConfig(
+        integrator=args.integrator, n_steps=args.steps,
+        temperature=args.temperature or system.temperature,
+        dt_fs=args.dt,
+        friction_per_ps=args.friction or system.friction_per_ps,
+        rebuild_every=args.rebuild_every, report_every=args.report_every,
+        seed=args.seed)
+
+    sim = Simulation(ff.force_fn(), system, md)
+    st = sim.init_state(jnp.asarray(pos), rng=jax.random.PRNGKey(args.seed))
+
+    print(f"Simulating {system.n_atoms} atoms, {args.steps} steps "
+          f"({args.integrator}, T={md.temperature} K)")
+    t0 = time.perf_counter()
+    result = sim.run(st, args.steps)
+    jax.block_until_ready(result.state.pos)
+    wall = time.perf_counter() - t0
+    print(f"{args.steps} steps in {wall:.2f} s "
+          f"({args.steps / wall:.0f} steps/s, incl. compile)")
+    if bool(result.overflow):
+        print("WARNING: neighbor capacity overflow — increase nbr_capacity")
+
+    StateReporter(args.log, report_interval=args.report_every,
+                  dt_fs=args.dt).write(result.thermo)
+    print(f"Thermo log: {args.log}")
+    if args.out_traj:
+        np.save(args.out_traj, np.asarray(result.state.pos))
+
+
+if __name__ == "__main__":
+    main()

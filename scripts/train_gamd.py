@@ -1,0 +1,128 @@
+#!/usr/bin/env python
+"""Train a GAMD GNN force field (CLI covering all four reference scripts).
+
+Mirrors the reference argparse surface (reference:
+/root/reference/code/LJ/train_network_lj.py:386-404 and
+train_network_real_large.py:346-370) with one added flag: --system selects
+the preset (lj | tip3p | tip4p | dft) instead of four copied scripts.
+
+Examples:
+    python scripts/train_gamd.py --system lj --data_dir ./md_dataset \
+        --max_epoch 30 --batch_size 8 --use_layer_norm
+    python scripts/train_gamd.py --system dft --data_dir ./RPBE.npz \
+        --cutoff 9.5 --conv_layer 5 --encoding_size 256
+"""
+
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--system", default="lj",
+                        choices=["lj", "tip3p", "tip4p", "dft"])
+    parser.add_argument("--min_epoch", default=30, type=int)
+    parser.add_argument("--max_epoch", default=30, type=int)
+    parser.add_argument("--lr", default=3e-4, type=float)
+    parser.add_argument("--cp_dir", default="./model_ckpt")
+    parser.add_argument("--state_ckpt_dir", default=None, type=str)
+    parser.add_argument("--batch_size", default=1, type=int)
+    parser.add_argument("--encoding_size", default=128, type=int)
+    parser.add_argument("--hidden_dim", default=128, type=int)
+    parser.add_argument("--edge_embedding_dim", default=128, type=int)
+    parser.add_argument("--conv_layer", default=4, type=int)
+    parser.add_argument("--cutoff", default=None, type=float)
+    parser.add_argument("--drop_edge", action="store_true")
+    parser.add_argument("--use_layer_norm", action="store_true")
+    parser.add_argument("--update_edge", action="store_true")
+    parser.add_argument("--disable_expand_edge", dest="expand_edge",
+                        default=True, action="store_false")
+    parser.add_argument("--disable_rotate_aug", dest="rotate_aug",
+                        default=True, action="store_false")
+    parser.add_argument("--use_part", action="store_true")
+    parser.add_argument("--data_dir", default="./md_dataset")
+    parser.add_argument("--sample_num", default=1000, type=int,
+                        help="frames per seed in the dataset")
+    parser.add_argument("--seed_num", default=10, type=int,
+                        help="number of generation seeds in the dataset")
+    parser.add_argument("--loss", default="mae", choices=["mae", "mse"])
+    parser.add_argument("--num_device", default=-1, type=int,
+                        help="devices for data parallelism (-1 = all)")
+    args = parser.parse_args()
+
+    import jax
+
+    from gamd_tpu.core.config import ModelConfig, TrainConfig, get_preset
+    from gamd_tpu.parallel.mesh import make_mesh
+    from gamd_tpu.train.data import RealLargeDataset, TrajectoryDataset
+    from gamd_tpu.train.loop import train
+
+    system = get_preset(args.system)
+    if args.cutoff is not None:
+        system = get_preset(args.system, cutoff=args.cutoff)
+
+    model_cfg = ModelConfig(
+        encoding_size=args.encoding_size,
+        hidden_dim=args.hidden_dim,
+        edge_embedding_dim=args.edge_embedding_dim,
+        conv_layers=args.conv_layer,
+        drop_edge=args.drop_edge,
+        use_layer_norm=args.use_layer_norm,
+        update_edge=args.update_edge,
+        expand_edge=args.expand_edge,
+        flip_dir=(args.system == "dft"),
+    )
+    # LAMBDA2 differs for the DFT config (reference:
+    # train_network_real_large.py:30 vs train_network_lj.py:35).
+    train_cfg = TrainConfig(
+        lr=args.lr, min_epoch=args.min_epoch, max_epoch=args.max_epoch,
+        batch_size=args.batch_size, loss=args.loss,
+        lambda_net_force=0.5e-2 if args.system == "dft" else 1e-3,
+        rotate_aug=args.rotate_aug,
+        jitter_sigma=0.00025 if args.system == "dft" else 0.005,
+        checkpoint_every=50 if args.system == "dft" else 5,
+    )
+
+    if args.system == "dft":
+        train_data = RealLargeDataset(args.data_dir, mode="train",
+                                      use_part=args.use_part)
+        val_data = RealLargeDataset(args.data_dir, mode="test")
+    else:
+        sub = {"lj": "lj_data", "tip3p": "water_data",
+               "tip4p": "tip4p_data"}[args.system]
+        path = (args.data_dir if os.path.basename(args.data_dir) == sub
+                else os.path.join(args.data_dir, sub))
+        data_type = args.system if args.system != "lj" else "lj"
+        train_data = TrajectoryDataset(path, mode="train", data_type=data_type,
+                                       sample_num=args.sample_num,
+                                       seed_num=args.seed_num)
+        val_data = TrajectoryDataset(path, mode="test", data_type=data_type,
+                                     sample_num=args.sample_num,
+                                     seed_num=args.seed_num)
+
+    n_dev = len(jax.devices()) if args.num_device == -1 else args.num_device
+    mesh = make_mesh(n_dev) if (n_dev > 1
+                                and args.batch_size % n_dev == 0) else None
+    if mesh is not None:
+        print(f"Data-parallel over {n_dev} devices")
+
+    state = None
+    if args.state_ckpt_dir:
+        from gamd_tpu.train.checkpoint import load_checkpoint
+        from gamd_tpu.train.state import build_model, create_train_state
+        model = build_model(model_cfg, system)
+        template = create_train_state(
+            model, system, train_cfg,
+            max(len(train_data) // args.batch_size, 1))
+        state = load_checkpoint(args.state_ckpt_dir, template)
+        print(f"Resumed from {args.state_ckpt_dir}")
+
+    train(system, model_cfg, train_cfg, train_data, val_data,
+          ckpt_dir=args.cp_dir, mesh=mesh, state=state)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,147 @@
+"""Fused simulation driver tests with the classical LJ potential."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from gamd_tpu.core.config import MDConfig, SystemConfig
+from gamd_tpu.md.simulate import Simulation, simulate
+from gamd_tpu.md.reporters import StateReporter
+from gamd_tpu.physics import lennard_jones as lj
+from gamd_tpu.physics.minimize import fire_minimize
+from gamd_tpu.physics.rdf import radial_distribution, rdf_l2
+
+
+def small_lj_system(n=32):
+    params = lj.LJParams()
+    box, pos = lj.lj_fluid_box(n, 0.5, params)
+    # Keep the potential cutoff inside the (small) box's half-width.
+    params = lj.LJParams(cutoff=min(params.cutoff, box / 2 - 0.01))
+    system = SystemConfig(
+        name="test-lj", n_atoms=n, box=box, cutoff=params.cutoff,
+        nbr_capacity=n, skin=1.0, species="lj", masses=(lj.ARGON_MASS,),
+        temperature=100.0)
+    return system, params, pos
+
+
+def test_forces_dense_vs_neighbor_list_consistency():
+    system, params, pos = small_lj_system()
+    # Jitter off the perfect lattice: exact-cutoff shells otherwise make pair
+    # inclusion float-order dependent (the force is discontinuous at rc for
+    # the shifted potential).
+    rng = np.random.RandomState(7)
+    pos = jnp.asarray(pos + rng.randn(*pos.shape).astype(np.float32) * 0.1)
+    from gamd_tpu.neighbors import dense_neighbor_list
+    idx, mask, _ = dense_neighbor_list(pos, system.box, params.cutoff + 0.5,
+                                       k_max=system.nbr_capacity)
+    from gamd_tpu.neighbors.dense import refresh_mask
+    live = refresh_mask(pos, system.box, params.cutoff, idx, mask)
+    f_nbr = lj.lj_force_fn(system.box, params)(pos, idx, live)
+    f_dense = lj.lj_forces_dense(pos, system.box, params)
+    np.testing.assert_allclose(np.asarray(f_nbr), np.asarray(f_dense),
+                               atol=1e-3)
+
+
+def test_fire_minimization_reduces_energy():
+    system, params, pos = small_lj_system()
+    rng = np.random.RandomState(0)
+    noisy = jnp.asarray(pos + rng.randn(*pos.shape).astype(np.float32) * 0.3)
+    e0 = float(lj.lj_energy_dense(noisy, system.box, params))
+    force = lambda p: lj.lj_forces_dense(p, system.box, params)
+    x, f = fire_minimize(force, noisy, n_steps=200)
+    e1 = float(lj.lj_energy_dense(x, system.box, params))
+    assert e1 < e0
+    assert float(jnp.max(jnp.abs(f))) < float(jnp.max(jnp.abs(force(noisy))))
+
+
+def test_nve_energy_conservation():
+    """Fused driver, velocity-Verlet: total energy drift small over 400 steps."""
+    system, params, pos = small_lj_system()
+    md = MDConfig(integrator="nve", dt_fs=2.0, rebuild_every=10,
+                  temperature=system.temperature, seed=0)
+    force_fn = lj.lj_force_fn(system.box, params)
+    sim = Simulation(force_fn, system, md)
+    state = sim.init_state(jnp.asarray(pos), rng=jax.random.PRNGKey(0))
+
+    def total_energy(st):
+        from gamd_tpu.md.integrators import kinetic_energy
+        ke = float(kinetic_energy(st.vel, sim.masses))
+        pe = float(lj.lj_energy_dense(
+            jnp.mod(st.pos, system.box), system.box, params))
+        return ke + pe
+
+    e0 = total_energy(state)
+    result = sim.run(state, 400)
+    assert not bool(result.overflow)
+    e1 = total_energy(result.state)
+    scale = max(abs(e0), 1.0)
+    assert abs(e1 - e0) / scale < 0.02
+
+
+def test_simulate_convenience_wrapper():
+    system, params, pos = small_lj_system(n=32)
+    md = MDConfig(integrator="langevin", dt_fs=2.0, temperature=100.0,
+                  friction_per_ps=25.0, rebuild_every=10, seed=1, n_steps=50)
+    result = simulate(lj.lj_force_fn(system.box, params), system, md,
+                      jnp.asarray(pos), rng=jax.random.PRNGKey(1))
+    assert result.thermo.temperature.shape == (50,)
+
+
+def test_langevin_short_run_temperature():
+    system, params, pos = small_lj_system(n=64)
+    md = MDConfig(integrator="langevin", dt_fs=2.0, temperature=100.0,
+                  friction_per_ps=25.0, rebuild_every=10, seed=1)
+    sim = Simulation(lj.lj_force_fn(system.box, params), system, md)
+    state = sim.init_state(jnp.asarray(pos), rng=jax.random.PRNGKey(1))
+    result = sim.run(state, 1500)
+    temps = np.asarray(result.thermo.temperature)
+    t_avg = temps[len(temps) // 2:].mean()
+    assert t_avg == pytest.approx(100.0, rel=0.25)
+    assert not bool(result.overflow)
+
+
+def test_nose_hoover_fused_run():
+    system, params, pos = small_lj_system(n=32)
+    md = MDConfig(integrator="nose_hoover", dt_fs=2.0, temperature=100.0,
+                  friction_per_ps=25.0, chain_length=10, rebuild_every=10)
+    sim = Simulation(lj.lj_force_fn(system.box, params), system, md)
+    state = sim.init_state(jnp.asarray(pos), rng=jax.random.PRNGKey(2))
+    result = sim.run(state, 500)
+    temps = np.asarray(result.thermo.temperature)
+    assert np.all(np.isfinite(temps))
+    assert temps[-1] > 10.0  # dynamics alive, not frozen/diverged
+    assert np.all(np.isfinite(np.asarray(result.state.pos)))
+
+
+def test_thermo_log_and_reporter(tmp_path):
+    system, params, pos = small_lj_system(n=32)
+    md = MDConfig(integrator="langevin", rebuild_every=5, temperature=100.0)
+    sim = Simulation(lj.lj_force_fn(system.box, params), system, md)
+    state = sim.init_state(jnp.asarray(pos), rng=jax.random.PRNGKey(3))
+    result = sim.run(state, 100)
+    assert result.thermo.temperature.shape == (100,)
+    path = tmp_path / "log.txt"
+    rep = StateReporter(str(path), report_interval=20, dt_fs=2.0)
+    n_rows = rep.write(result.thermo)
+    assert n_rows == 5
+    lines = path.read_text().strip().split("\n")
+    assert lines[0].startswith('#"Step"')
+    cols = lines[1].split("\t")
+    assert int(cols[0]) == 20
+    assert float(cols[1]) == pytest.approx(20 * 2.0 * 1e-3)
+
+
+def test_rdf_ideal_gas_is_flat():
+    """Uniform random gas: g(r) ~ 1 away from r=0."""
+    rng = np.random.RandomState(0)
+    box = 10.0
+    frames = rng.uniform(0, box, size=(20, 200, 3)).astype(np.float32)
+    r, g = radial_distribution(frames, box, n_bins=25)
+    inner = g[(r > 2.0) & (r < 4.5)]
+    assert np.abs(inner - 1.0).max() < 0.15
+
+
+def test_rdf_l2_zero_for_identical():
+    g = np.linspace(0, 2, 50)
+    assert rdf_l2(g, g) == 0.0

@@ -1,0 +1,265 @@
+"""End-to-end training tests on synthetic LJ data (CPU, tiny configs)."""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from gamd_tpu.core.config import ModelConfig, SystemConfig, TrainConfig
+from gamd_tpu.models.normalizer import denormalize
+from gamd_tpu.physics import lennard_jones as lj
+from gamd_tpu.train import augment
+from gamd_tpu.train.checkpoint import (
+    load_checkpoint,
+    load_scaler,
+    save_checkpoint,
+    save_scaler,
+)
+from gamd_tpu.train.data import (
+    RealLargeDataset,
+    TrajectoryDataset,
+    batch_iterator,
+    reference_split,
+)
+from gamd_tpu.train.forcefield import GNNForceField
+from gamd_tpu.train.loop import make_eval_step, make_train_step, train
+from gamd_tpu.train.state import build_model, create_train_state, make_optimizer
+
+
+TINY = ModelConfig(encoding_size=16, hidden_dim=16, edge_embedding_dim=16,
+                   conv_layers=2)
+
+
+def make_lj_frames(n_frames=12, n=24, seed=0):
+    """Synthetic LJ frames with exact classical forces."""
+    params = lj.LJParams()
+    box, pos0 = lj.lj_fluid_box(n, 0.5, params)
+    params = lj.LJParams(cutoff=min(params.cutoff, box / 2 - 0.01))
+    rng = np.random.RandomState(seed)
+    frames = []
+    for _ in range(n_frames):
+        p = (pos0 + rng.randn(*pos0.shape).astype(np.float32) * 0.3) % box
+        f = np.asarray(lj.lj_forces_dense(jnp.asarray(p), box, params))
+        frames.append({"pos": p.astype(np.float32),
+                       "forces": (f / 0.1).astype(np.float32)})  # kJ/mol/nm
+    system = SystemConfig(
+        name="tiny-lj", n_atoms=n, box=box, cutoff=params.cutoff,
+        nbr_capacity=n, skin=1.0, species="lj", masses=(lj.ARGON_MASS,),
+        temperature=100.0)
+    return system, frames
+
+
+class ListDataset:
+    def __init__(self, items):
+        self.items = items
+
+    def __len__(self):
+        return len(self.items)
+
+    def __getitem__(self, i):
+        return self.items[i]
+
+
+def test_reference_split_parity():
+    """Exact reproduction of the reference's seed-0 shuffled 90/10 split."""
+    train_idx, test_idx = reference_split(100)
+    idxs = np.arange(100)
+    np.random.seed(0)
+    np.random.shuffle(idxs)
+    np.testing.assert_array_equal(train_idx, idxs[:90])
+    np.testing.assert_array_equal(test_idx, idxs[90:])
+
+
+def test_trajectory_dataset_roundtrip(tmp_path):
+    d = tmp_path / "lj_data"
+    d.mkdir()
+    rng = np.random.RandomState(0)
+    for seed in range(2):
+        for t in range(5):
+            np.savez(d / f"data_{seed}_{t}.npz",
+                     pos=rng.randn(8, 3).astype(np.float32),
+                     vel=rng.randn(8, 3).astype(np.float32),
+                     forces=rng.randn(8, 3).astype(np.float32))
+    ds = TrajectoryDataset(str(d), sample_num=5, seed_num=2, mode="train")
+    assert len(ds) == 9
+    item = ds[0]
+    assert item["pos"].shape == (8, 3)
+    ds_test = TrajectoryDataset(str(d), sample_num=5, seed_num=2, mode="test")
+    assert len(ds_test) == 1
+
+
+def test_tip4p_m_site_dropping(tmp_path):
+    d = tmp_path / "tip4p_data"
+    d.mkdir()
+    # 2 molecules x 4 sites (O,H,H,M)
+    pos = np.arange(8 * 3, dtype=np.float32).reshape(8, 3)
+    np.savez(d / "data_0_0.npz", pos=pos, vel=pos, forces=pos)
+    ds = TrajectoryDataset(str(d), sample_num=1, seed_num=1, mode="train",
+                           data_type="tip4p", split=(1.0, 0.0))
+    item = ds[0]
+    assert item["pos"].shape == (6, 3)          # M sites dropped
+    np.testing.assert_array_equal(item["pos"][:3], pos[:3])
+    np.testing.assert_array_equal(item["pos"][3:], pos[4:7])
+    assert item["feat"].shape == (6, 1)
+    np.testing.assert_array_equal(item["feat"].ravel(), [1, 0, 0, 1, 0, 0])
+
+
+def test_real_large_dataset(tmp_path):
+    path = tmp_path / "rpbe.npz"
+    n_frames, n = 10, 6
+    rng = np.random.RandomState(1)
+    np.savez(path,
+             pos=rng.randn(n_frames, n, 3).astype(np.float32),
+             force=rng.randn(n_frames, n, 3).astype(np.float32),
+             box=np.tile(np.array([12.0, 12.0, 12.0], np.float32),
+                         (n_frames, 1)),
+             atom_type=np.tile((np.arange(n) % 3 == 0).astype(np.int64),
+                               (n_frames, 1)),
+             train_idx=np.arange(8),
+             test_idx=np.arange(8, 10))
+    ds = RealLargeDataset(str(path), mode="train")
+    assert len(ds) == 8
+    item = ds[0]
+    assert item["box_size"].shape == (3,)
+    assert item["feat"].shape == (n, 1)
+    ds_part = RealLargeDataset(str(path), mode="train", use_part=True)
+    assert len(ds_part) == 8  # fewer than 1500 -> all
+
+
+def test_rotation_augmentation_preserves_force_geometry():
+    """Rotating pos and forces by the same R keeps |F| and relative angles."""
+    rng = jax.random.PRNGKey(0)
+    pos = jax.random.uniform(rng, (10, 3)) * 5.0
+    forces = jax.random.normal(jax.random.PRNGKey(1), (10, 3))
+    p2, f2, _ = augment.rotate_sample(jax.random.PRNGKey(4), pos, forces, 5.0,
+                                      prob=1.0)
+    np.testing.assert_allclose(
+        np.linalg.norm(np.asarray(f2), axis=1),
+        np.linalg.norm(np.asarray(forces), axis=1), rtol=1e-2)
+
+
+def test_flip_rotation_is_axis_aligned():
+    r = np.asarray(augment.random_flip_rotation(jax.random.PRNGKey(3),
+                                                prob=1.0))
+    # Rotation by multiples of pi: entries in {-1, 0, 1}, orthogonal.
+    np.testing.assert_allclose(np.abs(r).sum(axis=0), 1.0, atol=1e-5)
+    np.testing.assert_allclose(r @ r.T, np.eye(3), atol=1e-5)
+
+
+def test_train_step_runs_and_loss_decreases():
+    system, frames = make_lj_frames(n_frames=8)
+    ds = ListDataset(frames)
+    cfg = TrainConfig(max_epoch=30, batch_size=4, lr=3e-3,
+                      rotate_aug=True, jitter_sigma=0.001)
+    model = build_model(TINY, system)
+    tx = make_optimizer(cfg, steps_per_epoch=2)
+    state = create_train_state(model, system, cfg, steps_per_epoch=2)
+    step = make_train_step(model, system, cfg, tx)
+
+    losses = []
+    for epoch in range(30):
+        for batch in batch_iterator(ds, 4, shuffle=True, seed=epoch):
+            batch = {k: jnp.asarray(v) for k, v in batch.items()}
+            state, metrics = step(state, batch)
+            losses.append(float(metrics["loss"]))
+    assert np.mean(losses[-10:]) < np.mean(losses[:10]) * 0.7
+    assert int(state.step) == 60
+    assert float(state.force_stat.count) > 0
+    assert float(state.length_stat.safe_mean) > 0
+
+
+def test_eval_step_metrics():
+    system, frames = make_lj_frames(n_frames=4)
+    ds = ListDataset(frames)
+    cfg = TrainConfig(max_epoch=1, batch_size=2)
+    model = build_model(TINY, system)
+    tx = make_optimizer(cfg, 2)
+    state = create_train_state(model, system, cfg, 2)
+    train_step = make_train_step(model, system, cfg, tx)
+    for batch in batch_iterator(ds, 2, shuffle=False):
+        state, _ = train_step(state, {k: jnp.asarray(v)
+                                      for k, v in batch.items()})
+    eval_step = make_eval_step(model, system)
+    batch = next(batch_iterator(ds, 2, shuffle=False))
+    m = eval_step(state, {k: jnp.asarray(v) for k, v in batch.items()})
+    for key in ("val_mae", "val_mse", "val_outlier"):
+        assert np.isfinite(float(m[key]))
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    system, frames = make_lj_frames(n_frames=2)
+    cfg = TrainConfig(max_epoch=1, batch_size=2)
+    model = build_model(TINY, system)
+    state = create_train_state(model, system, cfg, 1)
+    p = tmp_path / "ckpt.msgpack"
+    save_checkpoint(str(p), state)
+    template = create_train_state(model, system, cfg, 1,
+                                  rng=jax.random.PRNGKey(99))
+    restored = load_checkpoint(str(p), template)
+    before = jax.tree.leaves(state.params)
+    after = jax.tree.leaves(restored.params)
+    for a, b in zip(before, after):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    sp = tmp_path / "scaler.npz"
+    save_scaler(str(sp), state)
+    z = np.load(sp)
+    assert set(["mean", "var"]).issubset(z.files)   # reference-compatible keys
+    force, length = load_scaler(str(sp))
+    assert float(force.var) == pytest.approx(float(state.force_stat.var),
+                                             rel=1e-5)
+
+
+def test_gnn_forcefield_predict_and_md_roundtrip():
+    """Full loop: train briefly, wrap as force field, run fused MD."""
+    from gamd_tpu.core.config import MDConfig
+    from gamd_tpu.md.simulate import Simulation
+
+    system, frames = make_lj_frames(n_frames=6)
+    ds = ListDataset(frames)
+    cfg = TrainConfig(max_epoch=3, batch_size=2, rotate_aug=False)
+    state = train(system, TINY, cfg, ds, log_fn=lambda s: None)
+
+    ff = GNNForceField(state, system, TINY)
+    pred = ff.predict(frames[0]["pos"])
+    assert pred.shape == (system.n_atoms, 3)
+    assert np.all(np.isfinite(np.asarray(pred)))
+
+    md = MDConfig(integrator="langevin", temperature=100.0, rebuild_every=5)
+    sim = Simulation(ff.force_fn(), system, md)
+    st = sim.init_state(jnp.asarray(frames[0]["pos"]),
+                        rng=jax.random.PRNGKey(0))
+    result = sim.run(st, 20)
+    assert np.all(np.isfinite(np.asarray(result.state.pos)))
+    assert result.thermo.temperature.shape == (20,)
+
+
+def test_train_data_parallel_mesh():
+    """Same step function under a dp-sharded batch on the 8-CPU mesh."""
+    from gamd_tpu.parallel.mesh import dp_sharding, make_mesh
+
+    system, frames = make_lj_frames(n_frames=8)
+    ds = ListDataset(frames)
+    cfg = TrainConfig(max_epoch=1, batch_size=8, rotate_aug=False)
+    model = build_model(TINY, system)
+    tx = make_optimizer(cfg, 1)
+    state = create_train_state(model, system, cfg, 1)
+    step = make_train_step(model, system, cfg, tx)
+
+    mesh = make_mesh(8)
+    shard = dp_sharding(mesh)
+    batch = next(batch_iterator(ds, 8, shuffle=False))
+    sharded = {k: jax.device_put(v, shard) for k, v in batch.items()}
+    state_sharded, m_sharded = step(state, sharded)
+
+    local = {k: jnp.asarray(v) for k, v in batch.items()}
+    state_local, m_local = step(state, local)
+    # Same math regardless of sharding.
+    assert float(m_sharded["loss"]) == pytest.approx(
+        float(m_local["loss"]), rel=1e-4)
+    a = jax.tree.leaves(state_sharded.params)
+    b = jax.tree.leaves(state_local.params)
+    for x, y in zip(a, b):
+        np.testing.assert_allclose(np.asarray(x), np.asarray(y), atol=1e-5)
