@@ -32,6 +32,8 @@ def main():
     parser.add_argument("--edge_embedding_dim", default=128, type=int)
     parser.add_argument("--conv_layer", default=4, type=int)
     parser.add_argument("--max_frames", default=None, type=int)
+    parser.add_argument("--sample_num", default=1000, type=int)
+    parser.add_argument("--seed_num", default=10, type=int)
     parser.add_argument("--json_out", default=None)
     args = parser.parse_args()
 
@@ -62,7 +64,9 @@ def main():
             * units.KJ_MOL_NM_TO_EV_A * 10.0  # Ha/bohr -> eV/A
     else:
         ds = TrajectoryDataset(args.data_dir, mode="test",
-                               data_type=args.system)
+                               data_type=args.system,
+                               sample_num=args.sample_num,
+                               seed_num=args.seed_num)
         to_ev_a = units.KJ_MOL_NM_TO_EV_A
 
     n = len(ds) if args.max_frames is None else min(len(ds), args.max_frames)
