@@ -28,8 +28,13 @@ BASELINE_STEPS_PER_S = 1e5
 
 
 def main():
-    system = get_preset("lj")
-    model_cfg = lj_model_config()
+    # Bench config: bf16 matmuls on the MXU; neighbor list built at
+    # cutoff + 0.5 A skin with K=64 (thermal drift over a 20-step reuse
+    # window is ~0.06 A, and overflow is still detected and reported).
+    system = get_preset("lj", skin=0.5, nbr_capacity=64)
+    # fp32 XLA path: bf16 measured SLOWER here (layernorm/convert round
+    # trips dominate at these sizes); precision lives in the Pallas kernel.
+    model_cfg = lj_model_config(use_pallas=True)
     # Architecture-only benchmark: untrained weights, real compute graph.
     state = create_train_state(
         build_model(model_cfg, system), system, TrainConfig(), 1,
@@ -48,6 +53,8 @@ def main():
     # Warmup: compile + one run.
     result = sim.run(st, n_steps)
     jax.block_until_ready(result.state.pos)
+    assert not bool(result.overflow), "neighbor capacity overflow in bench"
+    assert bool(jnp.isfinite(result.state.pos).all())
 
     reps = 3
     t0 = time.perf_counter()

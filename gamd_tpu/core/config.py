@@ -111,6 +111,8 @@ class ModelConfig:
                                   # (reference: /root/reference/code/nn_module.py:327)
     conv_activation: str = "silu"
     mlp_activation: str = "gelu"
+    use_pallas: bool = False        # fused Pallas kernel for the conv-layer
+                                    # edge pipeline (ops.pallas_mp)
     compute_dtype: str = "float32"  # 'bfloat16' runs matmuls on the MXU in
                                     # bf16 with fp32 params/accumulation —
                                     # the TPU-native replacement for the

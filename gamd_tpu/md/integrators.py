@@ -119,11 +119,18 @@ def baoab_langevin(force_fn: Callable, dt: float, masses, temp_k: float,
     def init_fn(pos, vel, rng):
         return LangevinState(pos=pos, vel=vel, force=force_fn(pos), rng=rng)
 
-    def step_fn(state: LangevinState) -> LangevinState:
-        rng, noise_key = jax.random.split(state.rng)
+    def step_fn(state: LangevinState, noise=None) -> LangevinState:
+        """One BAOAB step. `noise` [N, 3] may be pre-drawn (the fused driver
+        generates a whole chunk's noise in one RNG call — per-step threefry
+        costs ~20 us on TPU, a block draw amortizes it away)."""
+        if noise is None:
+            rng, noise_key = jax.random.split(state.rng)
+            xi = jax.random.normal(noise_key, state.vel.shape,
+                                   state.vel.dtype)
+        else:
+            rng, xi = state.rng, noise
         v = state.vel + 0.5 * dt * state.force / m              # B
         x = state.pos + 0.5 * dt * v                            # A
-        xi = jax.random.normal(noise_key, v.shape, v.dtype)
         v = a * v + b * sigma * xi                              # O
         x = x + 0.5 * dt * v                                    # A
         f = force_fn(x)
@@ -263,10 +270,15 @@ def andersen(force_fn: Callable, dt: float, masses, temp_k: float,
     def init_fn(pos, vel, rng):
         return AndersenState(pos=pos, vel=vel, force=force_fn(pos), rng=rng)
 
-    def step_fn(state: AndersenState) -> AndersenState:
-        rng, k_u, k_g = jax.random.split(state.rng, 3)
-        collide = jax.random.uniform(k_u, state.vel.shape) < p_collision
-        xi = jax.random.normal(k_g, state.vel.shape)
+    def step_fn(state: AndersenState, noise=None) -> AndersenState:
+        """noise, if given, is a pre-drawn (uniform [N,3], normal [N,3])."""
+        if noise is None:
+            rng, k_u, k_g = jax.random.split(state.rng, 3)
+            u = jax.random.uniform(k_u, state.vel.shape)
+            xi = jax.random.normal(k_g, state.vel.shape)
+        else:
+            rng, (u, xi) = state.rng, noise
+        collide = u < p_collision
         v = jnp.where(collide, sigma * xi, state.vel)
         v = v + 0.5 * dt * state.force / m
         x = state.pos + dt * v

@@ -41,6 +41,8 @@ class RunResult(NamedTuple):
     state: object                 # final integrator state
     thermo: Thermo
     overflow: jnp.ndarray         # bool — neighbor capacity exceeded at any rebuild
+    positions: jnp.ndarray = None  # [n_chunks, N, 3] wrapped samples (one per
+                                   # neighbor-rebuild chunk) for RDF analysis
 
 
 class Simulation:
@@ -130,28 +132,47 @@ class Simulation:
         masses = self.masses
         ndf = 3 * self.system.n_atoms
 
+        stochastic = self.md.integrator in ("langevin", "andersen")
+        n_atoms = self.system.n_atoms
+
         def chunk(carry, _):
             state, any_ovf = carry
             posw = space.wrap(state.pos, self.system.box)
             idx, mask, ovf = self._build_nbrs(posw)
             _, step_fn = self._integrator(self._force_with(idx, mask))
 
-            def inner(st, _):
-                st = step_fn(st)
+            # Pre-draw the whole chunk's thermostat noise in one RNG call;
+            # per-step threefry inside the inner scan costs ~20 us on TPU.
+            xs = None
+            if stochastic:
+                rng, k_noise = jax.random.split(state.rng)
+                state = state._replace(rng=rng)
+                if self.md.integrator == "langevin":
+                    xs = jax.random.normal(k_noise,
+                                           (rebuild, n_atoms, 3))
+                else:
+                    k_u, k_g = jax.random.split(k_noise)
+                    xs = (jax.random.uniform(k_u, (rebuild, n_atoms, 3)),
+                          jax.random.normal(k_g, (rebuild, n_atoms, 3)))
+
+            def inner(st, noise):
+                st = step_fn(st) if noise is None else step_fn(st, noise)
                 ke = integ.kinetic_energy(st.vel, masses)
                 return st, (ke, 2.0 * ke / (ndf * units.KB))
 
             state, (ke, temp) = jax.lax.scan(
-                inner, state, None, length=rebuild)
-            return (state, any_ovf | ovf), (ke, temp)
+                inner, state, xs, length=rebuild)
+            pos_sample = space.wrap(state.pos, self.system.box)
+            return (state, any_ovf | ovf), (ke, temp, pos_sample)
 
         @jax.jit
         def run(state):
-            (state, ovf), (ke, temp) = jax.lax.scan(
+            (state, ovf), (ke, temp, pos_samples) = jax.lax.scan(
                 chunk, (state, jnp.asarray(False)), None, length=n_chunks)
             thermo = Thermo(kinetic_energy=ke.reshape(-1)[:n_steps],
                             temperature=temp.reshape(-1)[:n_steps])
-            return RunResult(state=state, thermo=thermo, overflow=ovf)
+            return RunResult(state=state, thermo=thermo, overflow=ovf,
+                             positions=pos_samples)
 
         return run
 

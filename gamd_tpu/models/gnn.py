@@ -40,7 +40,7 @@ import numpy as np
 
 from gamd_tpu.core import space
 from gamd_tpu.core.config import ModelConfig
-from gamd_tpu.models.mlp import MLP
+from gamd_tpu.models.mlp import MLP, get_activation
 
 
 def cubic_kernel(r, re, eps=1e-3):
@@ -108,7 +108,13 @@ def edge_geometry(pos, idx, box, flip_dir=False):
 
 
 class EdgeGatedConv(nn.Module):
-    """One message-passing layer (SmoothConvLayerNew equivalent)."""
+    """One message-passing layer (SmoothConvLayerNew equivalent).
+
+    The edge pipeline — edge_affine MLP, + src/dst codes, theta_edge MLP,
+    gate multiply, masked K-reduction — owns its weights explicitly so the
+    same parameters drive either the plain-XLA path or the fused Pallas
+    kernel (ops.pallas_mp.fused_conv_message), selected by `use_pallas`.
+    """
 
     node_dim: int
     hidden_dim: int = 128
@@ -116,27 +122,33 @@ class EdgeGatedConv(nn.Module):
     drop_edge: bool = False
     update_edge_emb: bool = False
     dtype: object = None
+    use_pallas: bool = False
 
     @nn.compact
     def __call__(self, h, e, idx, mask, train: bool = False):
         """h [B,N,D], e [B,N,K,E], idx [B,N,K], mask [B,N,K] ->
         (h' [B,N,D], e' or None)."""
-        edge_code = MLP(self.hidden_dim, hidden_dim=self.hidden_dim,
-                        hidden_layer=2, activation=self.activation,
-                        dtype=self.dtype, name="edge_affine")(e)
-        src_code = gather_nodes(
-            nn.Dense(self.hidden_dim, dtype=self.dtype,
-                     name="src_affine")(h), idx)
-        dst_code = nn.Dense(self.hidden_dim, dtype=self.dtype,
-                            name="dst_affine")(h)[:, :, None, :]
-        e_emb = MLP(self.node_dim, hidden_dim=self.hidden_dim, hidden_layer=2,
-                    activation=self.activation, activation_first=True,
-                    dtype=self.dtype,
-                    name="theta_edge")(edge_code + src_code + dst_code)
+        act = get_activation(self.activation)
+        hd, nd = self.hidden_dim, self.node_dim
+        e_dim = e.shape[-1]
+        init_w = nn.initializers.lecun_normal()
+        init_b = nn.initializers.zeros_init()
+        p = lambda name, shape, bias=False: self.param(
+            name, init_b if bias else init_w, shape)
 
-        new_e = None
-        if self.update_edge_emb:
-            new_e = nn.LayerNorm(name="edge_layer_norm")(e_emb)
+        # edge_affine: Linear -> act -> Linear (MLP hl=2)
+        w_e1, b_e1 = p("edge_affine_w1", (e_dim, hd)), p("edge_affine_b1",
+                                                         (hd,), True)
+        w_e2, b_e2 = p("edge_affine_w2", (hd, hd)), p("edge_affine_b2",
+                                                      (hd,), True)
+        # theta_edge: act -> Linear -> act -> Linear (MLP hl=2, act-first)
+        w_t1, b_t1 = p("theta_edge_w1", (hd, hd)), p("theta_edge_b1",
+                                                     (hd,), True)
+        w_t2, b_t2 = p("theta_edge_w2", (hd, nd)), p("theta_edge_b2",
+                                                     (nd,), True)
+
+        src_nodes = nn.Dense(hd, dtype=self.dtype, name="src_affine")(h)
+        dst_code = nn.Dense(hd, dtype=self.dtype, name="dst_affine")(h)
 
         agg_mask = mask
         if self.drop_edge and train:
@@ -147,9 +159,28 @@ class EdgeGatedConv(nn.Module):
             keep = jax.random.bernoulli(rng, 0.8, mask.shape)
             agg_mask = mask & keep
 
-        h_src = gather_nodes(h, idx)
-        msg = h_src * e_emb                                        # [B,N,K,D]
-        agg = jnp.sum(jnp.where(agg_mask[..., None], msg, 0.0), axis=2)
+        new_e = None
+        if self.use_pallas and not self.update_edge_emb:
+            from gamd_tpu.ops.pallas_mp import fused_conv_message
+            h_src = gather_nodes(h, idx)
+            src_code = gather_nodes(src_nodes, idx)
+            agg = jax.vmap(
+                lambda eb, hs, sc, dc, mk: fused_conv_message(
+                    eb, hs, sc, dc, mk, w_e1, b_e1, w_e2, b_e2,
+                    w_t1, b_t1, w_t2, b_t2)
+            )(e, h_src, src_code, dst_code, agg_mask)
+        else:
+            cd = (lambda x: x) if self.dtype is None else (
+                lambda x: x.astype(self.dtype))
+            edge_code = act(cd(e) @ cd(w_e1) + cd(b_e1)) @ cd(w_e2) + cd(b_e2)
+            src_code = gather_nodes(src_nodes, idx)
+            pre = edge_code + src_code + dst_code[:, :, None, :]
+            e_emb = act(act(pre) @ cd(w_t1) + cd(b_t1)) @ cd(w_t2) + cd(b_t2)
+            if self.update_edge_emb:
+                new_e = nn.LayerNorm(name="edge_layer_norm")(e_emb)
+            h_src = gather_nodes(h, idx)
+            msg = h_src * e_emb                                    # [B,N,K,D]
+            agg = jnp.sum(jnp.where(agg_mask[..., None], msg, 0.0), axis=2)
 
         out = MLP(self.node_dim, hidden_dim=self.hidden_dim, hidden_layer=1,
                   activation=self.activation, activation_first=True,
@@ -172,6 +203,7 @@ class ConvBlock(nn.Module):
     drop_edge: bool = False
     update_edge_emb: bool = False
     dtype: object = None
+    use_pallas: bool = False
 
     @nn.compact
     def __call__(self, h, e, idx, mask, train: bool = False):
@@ -187,6 +219,7 @@ class ConvBlock(nn.Module):
                 node_dim=self.node_dim, hidden_dim=self.hidden_dim,
                 activation=self.activation, drop_edge=self.drop_edge,
                 update_edge_emb=self.update_edge_emb, dtype=self.dtype,
+                use_pallas=self.use_pallas,
                 name=f"conv_{layer}")(hn, e, idx, mask, train=train)
             h = delta + h
             if self.update_edge_emb and new_e is not None:
@@ -277,6 +310,7 @@ class GAMDNet(nn.Module):
                       drop_edge=cfg.drop_edge,
                       update_edge_emb=cfg.update_edge,
                       dtype=cdtype,
+                      use_pallas=cfg.use_pallas,
                       name="graph_conv")(h, e, idx, mask, train=train)
 
         out = MLP(cfg.out_feats, hidden_dim=cfg.hidden_dim, hidden_layer=2,

@@ -191,3 +191,154 @@ def _fused_bwd(tile_n, interpret, residuals, g):
 
 
 fused_edge_mlp_aggregate.defvjp(_fused_fwd, _fused_bwd)
+
+
+# ---------------------------------------------------------------------------
+# Kernel 3: whole conv-layer edge pipeline
+#   edge_code = edge_affine(e);  pre = edge_code + src_code + dst_code
+#   m = theta_edge(pre);         out = sum_k mask * h_src * m
+# Everything between the gathers and the aggregated [N, D] output stays in
+# VMEM — the [N, K, H] intermediates (8+ MB each per layer in fp32) never
+# round-trip HBM, which the bisection profile showed dominates the step.
+# ---------------------------------------------------------------------------
+
+def _conv_msg_kernel(e_ref, hsrc_ref, srcc_ref, dstc_ref, mask_ref,
+                     w1_ref, b1_ref, w2_ref, b2_ref,
+                     w3_ref, b3_ref, w4_ref, b4_ref, out_ref, *,
+                     tile_n: int, k: int):
+    e_dim = w1_ref.shape[0]
+    h_dim = w1_ref.shape[1]
+    d = w4_ref.shape[1]
+    x = e_ref[:, :, :].reshape(tile_n * k, e_dim)
+    # edge_affine: Linear -> silu -> Linear (MLP hl=2, not act-first)
+    z = jnp.dot(x, w1_ref[:, :], preferred_element_type=jnp.float32)
+    z = _silu(z + b1_ref[0, :])
+    z = jnp.dot(z, w2_ref[:, :], preferred_element_type=jnp.float32)
+    z = z + b2_ref[0, :]
+    # + src/dst affine codes
+    z = z + srcc_ref[:, :, :].reshape(tile_n * k, h_dim)
+    z = z + jnp.repeat(dstc_ref[:, :], k, axis=0)
+    # theta_edge: silu -> Linear -> silu -> Linear (act-first, hl=2)
+    z = _silu(z)
+    z = jnp.dot(z, w3_ref[:, :], preferred_element_type=jnp.float32)
+    z = _silu(z + b3_ref[0, :])
+    m = jnp.dot(z, w4_ref[:, :], preferred_element_type=jnp.float32)
+    m = m + b4_ref[0, :]
+    msg = m.reshape(tile_n, k, d) * hsrc_ref[:, :, :]
+    msk = mask_ref[:, :].astype(jnp.float32)[:, :, None]
+    out_ref[:, :] = jnp.sum(msg * msk, axis=1)
+
+
+def _conv_msg_forward(e, h_src, src_code, dst_code, mask,
+                      w1, b1, w2, b2, w3, b3, w4, b4, tile_n, interpret):
+    n, k, e_dim = e.shape
+    h_dim = w1.shape[1]
+    d = w4.shape[1]
+    # Pad N up to a tile multiple (padded rows have mask False -> zeros).
+    n_pad = -(-n // tile_n) * tile_n
+    if n_pad != n:
+        pad = n_pad - n
+        e = jnp.pad(e, ((0, pad), (0, 0), (0, 0)))
+        h_src = jnp.pad(h_src, ((0, pad), (0, 0), (0, 0)))
+        src_code = jnp.pad(src_code, ((0, pad), (0, 0), (0, 0)))
+        dst_code = jnp.pad(dst_code, ((0, pad), (0, 0)))
+        mask = jnp.pad(mask, ((0, pad), (0, 0)))
+        out = _conv_msg_forward(e, h_src, src_code, dst_code, mask,
+                                w1, b1, w2, b2, w3, b3, w4, b4, tile_n,
+                                interpret)
+        return out[:n]
+    kernel = functools.partial(_conv_msg_kernel, tile_n=tile_n, k=k)
+    f32 = lambda a: a.astype(jnp.float32)
+    row = lambda a: a.reshape(1, -1).astype(jnp.float32)
+    return pl.pallas_call(
+        kernel,
+        grid=(n // tile_n,),
+        in_specs=[
+            pl.BlockSpec((tile_n, k, e_dim), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile_n, k, d), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile_n, k, h_dim), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile_n, h_dim), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile_n, k), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((e_dim, h_dim), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, h_dim), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((h_dim, h_dim), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, h_dim), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((h_dim, h_dim), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, h_dim), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((h_dim, d), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, d), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((tile_n, d), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n, d), jnp.float32),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * n * k * h_dim * (e_dim + h_dim + h_dim + d),
+            bytes_accessed=4 * n * k * (e_dim + h_dim + 2 * d),
+            transcendentals=3 * n * k * h_dim,
+        ),
+        interpret=interpret,
+    )(f32(e), f32(h_src), f32(src_code), f32(dst_code), mask,
+      f32(w1), row(b1), f32(w2), row(b2), f32(w3), row(b3), f32(w4), row(b4))
+
+
+def _conv_msg_reference(e, h_src, src_code, dst_code, mask,
+                        w1, b1, w2, b2, w3, b3, w4, b4):
+    z = _silu(e @ w1 + b1) @ w2 + b2
+    z = z + src_code + dst_code[:, None, :]
+    z = _silu(_silu(z) @ w3 + b3) @ w4 + b4
+    return jnp.sum(jnp.where(mask[..., None], h_src * z, 0.0), axis=1)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(13, 14))
+def fused_conv_message(e, h_src, src_code, dst_code, mask,
+                       w1, b1, w2, b2, w3, b3, w4, b4,
+                       tile_n: int = 8, interpret: bool = False):
+    """Fused edge pipeline of one EdgeGatedConv layer (see module docstring).
+
+    Args:
+        e:        [N, K, E] edge embeddings.
+        h_src:    [N, K, D] gathered (normalized) source-node features.
+        src_code: [N, K, H] gathered src_affine outputs.
+        dst_code: [N, H] dst_affine outputs (broadcast over K).
+        mask:     [N, K] bool aggregation mask.
+        w1..b4:   edge_affine (w1,b1,w2,b2) and theta_edge (w3,b3,w4,b4).
+    """
+    return _conv_msg_forward(e, h_src, src_code, dst_code, mask,
+                             w1, b1, w2, b2, w3, b3, w4, b4, tile_n,
+                             interpret)
+
+
+def _conv_msg_fwd(e, h_src, src_code, dst_code, mask,
+                  w1, b1, w2, b2, w3, b3, w4, b4, tile_n, interpret):
+    out = _conv_msg_forward(e, h_src, src_code, dst_code, mask,
+                            w1, b1, w2, b2, w3, b3, w4, b4, tile_n,
+                            interpret)
+    return out, (e, h_src, src_code, dst_code, mask,
+                 w1, b1, w2, b2, w3, b3, w4, b4)
+
+
+def _conv_msg_bwd(tile_n, interpret, residuals, g):
+    (e, h_src, src_code, dst_code, mask,
+     w1, b1, w2, b2, w3, b3, w4, b4) = residuals
+    _, vjp = jax.vjp(
+        lambda *args: _conv_msg_reference(args[0], args[1], args[2], args[3],
+                                          mask, *args[4:]),
+        e, h_src, src_code, dst_code, w1, b1, w2, b2, w3, b3, w4, b4)
+    grads = vjp(g)
+    return (grads[0], grads[1], grads[2], grads[3], None) + tuple(grads[4:])
+
+
+fused_conv_message.defvjp(_conv_msg_fwd, _conv_msg_bwd)

@@ -1,0 +1,252 @@
+"""Classical flexible-TIP3P water potential for ground-truth generation.
+
+First-party replacement for the OpenMM WaterBox testsystems the reference
+uses to produce TIP3P/TIP4P-Ew training data (reference:
+/root/reference/dataset/generate_tip3p_data.py:55-78). Differences, stated
+plainly: the reference simulates RIGID water (OpenMM distance constraints);
+here bonds/angles are stiff harmonics (CHARMM-style flexible TIP3P) so the
+whole thing is a plain differentiable potential — no constraint solver —
+at the cost of needing a smaller timestep (0.5 fs vs 2 fs) during
+generation. Recorded forces are force-field forces either way, matching
+what OpenMM's getForces reports.
+
+Terms (atoms ordered O,H,H per molecule):
+  * harmonic O-H bonds:   kb (r - r0)^2,   r0 = 0.9572 A
+  * harmonic H-O-H angle: ka (theta - theta0)^2, theta0 = 104.52 deg
+  * LJ on O-O pairs:      TIP3P sigma/epsilon
+  * Coulomb (qO, qH) with the damped-shifted-force (alpha=0) cutoff scheme,
+    which keeps both energy and force continuous at the cutoff;
+    intra-molecular nonbonded pairs excluded.
+
+Units: kJ/mol, angstrom.
+"""
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from gamd_tpu.core import space, units
+
+
+class TIP3PParams(NamedTuple):
+    r_oh: float = 0.9572
+    k_bond: float = 450.0 * units.KCAL_TO_KJ          # kJ/mol/A^2
+    theta0: float = 104.52 * np.pi / 180.0
+    k_angle: float = 55.0 * units.KCAL_TO_KJ          # kJ/mol/rad^2
+    sigma_o: float = 3.15061
+    eps_o: float = 0.1521 * units.KCAL_TO_KJ
+    q_o: float = -0.834
+    q_h: float = 0.417
+    cutoff: float = 9.0
+    coulomb_k: float = 332.0637128 * units.KCAL_TO_KJ  # kJ mol^-1 A e^-2
+
+
+WATER_MASSES = (15.9994, 1.008, 1.008)
+
+
+def atom_charges(n_molecules, p: TIP3PParams):
+    return jnp.tile(jnp.array([p.q_o, p.q_h, p.q_h]), n_molecules)
+
+
+def tip3p_energy(pos, box, params: TIP3PParams = TIP3PParams()):
+    """Total potential energy of an N = 3M atom water box [kJ/mol]."""
+    n = pos.shape[0]
+    assert n % 3 == 0
+    m = n // 3
+    p = params
+    o = pos[0::3]
+    h1 = pos[1::3]
+    h2 = pos[2::3]
+
+    # Bonds.
+    d1 = jnp.sqrt(jnp.sum(space.min_image(h1 - o, box) ** 2, -1) + 1e-12)
+    d2 = jnp.sqrt(jnp.sum(space.min_image(h2 - o, box) ** 2, -1) + 1e-12)
+    e_bond = jnp.sum(p.k_bond * ((d1 - p.r_oh) ** 2 + (d2 - p.r_oh) ** 2))
+
+    # Angles.
+    v1 = space.min_image(h1 - o, box)
+    v2 = space.min_image(h2 - o, box)
+    cos_t = jnp.sum(v1 * v2, -1) / jnp.maximum(
+        jnp.linalg.norm(v1, axis=-1) * jnp.linalg.norm(v2, axis=-1), 1e-8)
+    theta = jnp.arccos(jnp.clip(cos_t, -1 + 1e-7, 1 - 1e-7))
+    e_angle = jnp.sum(p.k_angle * (theta - p.theta0) ** 2)
+
+    # Nonbonded: all pairs, same-molecule excluded.
+    mol = jnp.arange(n) // 3
+    same_mol = mol[:, None] == mol[None, :]
+    d2_all = space.pairwise_distance2(pos, box) + jnp.eye(n) * 1e9
+    pair_ok = (~same_mol) & (d2_all < p.cutoff**2)
+    r2 = jnp.where(pair_ok, d2_all, p.cutoff**2)   # double-where NaN guard
+    r = jnp.sqrt(r2)
+
+    # LJ on O-O only.
+    is_o = (jnp.arange(n) % 3) == 0
+    oo = is_o[:, None] & is_o[None, :]
+    inv6 = (p.sigma_o**2 / r2) ** 3
+    s6 = (p.sigma_o / p.cutoff) ** 6
+    e_lj_pair = 4 * p.eps_o * (inv6**2 - inv6) - 4 * p.eps_o * (s6**2 - s6)
+    e_lj = 0.5 * jnp.sum(jnp.where(pair_ok & oo, e_lj_pair, 0.0))
+
+    # Coulomb, damped-shifted-force: continuous energy AND force at rc.
+    q = atom_charges(m, p)
+    qq = q[:, None] * q[None, :]
+    rc = p.cutoff
+    e_c_pair = p.coulomb_k * qq * (1.0 / r - 1.0 / rc + (r - rc) / rc**2)
+    e_coul = 0.5 * jnp.sum(jnp.where(pair_ok, e_c_pair, 0.0))
+
+    return e_bond + e_angle + e_lj + e_coul
+
+
+def tip3p_forces(pos, box, params: TIP3PParams = TIP3PParams()):
+    return -jax.grad(tip3p_energy)(pos, box, params)
+
+
+def tip3p_force_fn(box, params: TIP3PParams = TIP3PParams()):
+    """Dense force closure for the Simulation driver (ignores the padded
+    neighbor list — at N<=774 the dense pair matrix is the fast path)."""
+    def force(pos, idx, mask):
+        del idx, mask
+        return tip3p_forces(pos, box, params)
+    return force
+
+
+def water_box(n_molecules: int = 258, box: float = 20.0,
+              params: TIP3PParams = TIP3PParams(), seed: int = 0):
+    """Initial configuration: molecules on a cubic grid with random
+    orientations (the analogue of openmmtools WaterBox(box_edge=2nm))."""
+    rng = np.random.RandomState(seed)
+    per_dim = 1
+    while per_dim**3 < n_molecules:
+        per_dim += 1
+    spacing = box / per_dim
+    sites = np.array([(i, j, k) for i in range(per_dim)
+                      for j in range(per_dim) for k in range(per_dim)],
+                     np.float32)
+    sel = np.round(np.linspace(0, len(sites) - 1, n_molecules)).astype(int)
+    centers = (sites[sel] + 0.5) * spacing
+
+    # Ideal monomer geometry, then random rotation per molecule.
+    t0 = params.theta0
+    local = np.array([
+        [0.0, 0.0, 0.0],
+        [params.r_oh * np.sin(t0 / 2), params.r_oh * np.cos(t0 / 2), 0.0],
+        [-params.r_oh * np.sin(t0 / 2), params.r_oh * np.cos(t0 / 2), 0.0],
+    ], np.float32)
+
+    frames = []
+    for c in centers:
+        a, b, g = rng.uniform(0, 2 * np.pi, 3)
+        ca, sa, cb, sb, cg, sg = (np.cos(a), np.sin(a), np.cos(b),
+                                  np.sin(b), np.cos(g), np.sin(g))
+        rz = np.array([[ca, -sa, 0], [sa, ca, 0], [0, 0, 1]])
+        ry = np.array([[cb, 0, sb], [0, 1, 0], [-sb, 0, cb]])
+        rz2 = np.array([[cg, -sg, 0], [sg, cg, 0], [0, 0, 1]])
+        rot = (rz @ ry @ rz2).astype(np.float32)
+        frames.append(local @ rot.T + c)
+    pos = np.concatenate(frames, axis=0)
+    return np.mod(pos, box).astype(np.float32)
+
+
+# ---------------------------------------------------------------------------
+# TIP4P-Ew (4-site: O,H,H,M with the charge on the virtual M site)
+# ---------------------------------------------------------------------------
+
+class TIP4PEwParams(NamedTuple):
+    r_oh: float = 0.9572
+    k_bond: float = 450.0 * units.KCAL_TO_KJ
+    theta0: float = 104.52 * np.pi / 180.0
+    k_angle: float = 55.0 * units.KCAL_TO_KJ
+    sigma_o: float = 3.16435
+    eps_o: float = 0.16275 * units.KCAL_TO_KJ
+    q_m: float = -1.04844
+    q_h: float = 0.52422
+    r_om: float = 0.125           # M along the HOH bisector
+    cutoff: float = 9.0
+    coulomb_k: float = 332.0637128 * units.KCAL_TO_KJ
+
+
+def tip4pew_m_sites(o, h1, h2, box, p):
+    """Virtual-site positions: O + r_om * unit(bisector). Differentiable, so
+    grad redistributes M-site Coulomb forces onto O/H automatically — the
+    autodiff equivalent of OpenMM's virtual-site force projection."""
+    b = space.min_image(h1 - o, box) + space.min_image(h2 - o, box)
+    b_norm = jnp.linalg.norm(b, axis=-1, keepdims=True)
+    return o + p.r_om * b / jnp.maximum(b_norm, 1e-8)
+
+
+def tip4pew_energy(pos, box, params: TIP4PEwParams = TIP4PEwParams()):
+    """Energy of an N = 3M atom box (REAL atoms only; M sites derived).
+
+    Same intra terms as flexible TIP3P; LJ on O-O; Coulomb between derived
+    M sites and H atoms with the damped-shifted-force cutoff.
+    """
+    n = pos.shape[0]
+    assert n % 3 == 0
+    m = n // 3
+    p = params
+    o = pos[0::3]
+    h1 = pos[1::3]
+    h2 = pos[2::3]
+
+    d1 = jnp.sqrt(jnp.sum(space.min_image(h1 - o, box) ** 2, -1) + 1e-12)
+    d2 = jnp.sqrt(jnp.sum(space.min_image(h2 - o, box) ** 2, -1) + 1e-12)
+    e_bond = jnp.sum(p.k_bond * ((d1 - p.r_oh) ** 2 + (d2 - p.r_oh) ** 2))
+
+    v1 = space.min_image(h1 - o, box)
+    v2 = space.min_image(h2 - o, box)
+    cos_t = jnp.sum(v1 * v2, -1) / jnp.maximum(
+        jnp.linalg.norm(v1, axis=-1) * jnp.linalg.norm(v2, axis=-1), 1e-8)
+    theta = jnp.arccos(jnp.clip(cos_t, -1 + 1e-7, 1 - 1e-7))
+    e_angle = jnp.sum(p.k_angle * (theta - p.theta0) ** 2)
+
+    # LJ on O-O.
+    d2_oo = space.pairwise_distance2(o, box) + jnp.eye(m) * 1e9
+    ok_oo = d2_oo < p.cutoff**2
+    r2_oo = jnp.where(ok_oo, d2_oo, p.cutoff**2)
+    inv6 = (p.sigma_o**2 / r2_oo) ** 3
+    s6 = (p.sigma_o / p.cutoff) ** 6
+    e_lj_pair = 4 * p.eps_o * (inv6**2 - inv6) - 4 * p.eps_o * (s6**2 - s6)
+    e_lj = 0.5 * jnp.sum(jnp.where(ok_oo, e_lj_pair, 0.0))
+
+    # Coulomb between charge sites M,H1,H2 of different molecules.
+    msite = tip4pew_m_sites(o, h1, h2, box, p)
+    sites = jnp.stack([msite, h1, h2], axis=1).reshape(3 * m, 3)
+    q = jnp.tile(jnp.array([p.q_m, p.q_h, p.q_h]), m)
+    mol = jnp.arange(3 * m) // 3
+    same = mol[:, None] == mol[None, :]
+    d2_s = space.pairwise_distance2(sites, box) + jnp.eye(3 * m) * 1e9
+    ok = (~same) & (d2_s < p.cutoff**2)
+    r = jnp.sqrt(jnp.where(ok, d2_s, p.cutoff**2))
+    rc = p.cutoff
+    qq = q[:, None] * q[None, :]
+    e_c = p.coulomb_k * qq * (1.0 / r - 1.0 / rc + (r - rc) / rc**2)
+    e_coul = 0.5 * jnp.sum(jnp.where(ok, e_c, 0.0))
+
+    return e_bond + e_angle + e_lj + e_coul
+
+
+def tip4pew_forces(pos, box, params: TIP4PEwParams = TIP4PEwParams()):
+    return -jax.grad(tip4pew_energy)(pos, box, params)
+
+
+def tip4pew_force_fn(box, params: TIP4PEwParams = TIP4PEwParams()):
+    def force(pos, idx, mask):
+        del idx, mask
+        return tip4pew_forces(pos, box, params)
+    return force
+
+
+def expand_with_m_sites(pos, forces, box, params: TIP4PEwParams):
+    """Emit the reference's 4-site frame layout (O,H,H,M per molecule,
+    generate_tip4p_data.py records all sites; the loader drops M rows,
+    train_utils.py:58-64). M rows carry the derived position and zero force."""
+    m = pos.shape[0] // 3
+    o, h1, h2 = pos[0::3], pos[1::3], pos[2::3]
+    msite = np.asarray(tip4pew_m_sites(
+        jnp.asarray(o), jnp.asarray(h1), jnp.asarray(h2), box, params))
+    pos4 = np.stack([o, h1, h2, msite], axis=1).reshape(4 * m, 3)
+    f = forces.reshape(m, 3, 3)
+    f4 = np.concatenate([f, np.zeros((m, 1, 3), f.dtype)], axis=1)
+    return pos4.astype(np.float32), f4.reshape(4 * m, 3).astype(np.float32)

@@ -91,19 +91,30 @@ class TrajectoryDataset:
         return {"pos": pos, "forces": forces}
 
     def _load_or_build_pack(self, cache_path):
-        """Concatenate all frames into one memory-mapped blob (host-side IO
-        optimization; the reference re-opens thousands of npz files per
-        epoch through torch DataLoader workers)."""
+        """Concatenate all frames into one blob (host-side IO optimization;
+        the reference re-opens thousands of npz files per epoch through
+        torch DataLoader workers). Uses the native multithreaded packer
+        (csrc/gamd_io.cpp) when the toolchain is available."""
         if os.path.exists(cache_path):
             with np.load(cache_path, mmap_mode="r") as z:
                 return z["pos"], z["forces"]
-        all_pos, all_forces = [], []
-        for flat in range(self.seed_num * self.sample_num):
-            frame = TrajectoryDataset.__dict__["_read_raw"](self, flat)
-            all_pos.append(frame["pos"])
-            all_forces.append(frame["forces"])
-        pos = np.stack(all_pos)
-        forces = np.stack(all_forces)
+
+        from gamd_tpu.train import native_io
+        drop_m = self.data_type == "tip4p"
+        if native_io.available():
+            probe = self._read_raw(0)
+            n_atoms = probe["pos"].shape[0]
+            pos, forces = native_io.pack_trajectory(
+                self.dataset_path, self.seed_num, self.sample_num, n_atoms,
+                drop_m_site=drop_m, prefix=self.case_prefix)
+        else:
+            all_pos, all_forces = [], []
+            for flat in range(self.seed_num * self.sample_num):
+                frame = self._read_raw(flat)
+                all_pos.append(frame["pos"])
+                all_forces.append(frame["forces"])
+            pos = np.stack(all_pos)
+            forces = np.stack(all_forces)
         np.savez(cache_path, pos=pos, forces=forces)
         return pos, forces
 

@@ -1,0 +1,126 @@
+#!/usr/bin/env python
+"""Physics validation of a GNN-driven rollout vs ground-truth data.
+
+The TPU-native version of the reference's analysis notebooks
+(reference: /root/reference/code/LJ/test_script/lj.ipynb cells 5-6 and
+/root/reference/code/water/test_script/post-analysis.ipynb): runs an NVT
+rollout with the trained force field, then compares the radial distribution
+function and temperature statistics against the classical ground-truth
+trajectory frames.
+
+Example:
+    python scripts/analyze_rollout.py --system lj \
+        --ckpt model_ckpt/checkpoint_29.msgpack --data_dir md_dataset/lj_data \
+        --steps 10000 --json_out rdf_report.json
+"""
+
+import argparse
+import glob
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--system", default="lj", choices=["lj", "tip3p",
+                                                           "tip4p"])
+    parser.add_argument("--ckpt", required=True)
+    parser.add_argument("--data_dir", required=True,
+                        help="ground-truth data_{seed}_{t}.npz directory")
+    parser.add_argument("--steps", default=10000, type=int)
+    parser.add_argument("--integrator", default="nose_hoover")
+    parser.add_argument("--equil_fraction", default=0.3, type=float)
+    parser.add_argument("--n_bins", default=100, type=int)
+    parser.add_argument("--max_gt_frames", default=200, type=int)
+    parser.add_argument("--encoding_size", default=128, type=int)
+    parser.add_argument("--hidden_dim", default=128, type=int)
+    parser.add_argument("--edge_embedding_dim", default=128, type=int)
+    parser.add_argument("--conv_layer", default=4, type=int)
+    parser.add_argument("--json_out", default=None)
+    args = parser.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from gamd_tpu.core.config import (MDConfig, ModelConfig, TrainConfig,
+                                      get_preset)
+    from gamd_tpu.md.simulate import Simulation
+    from gamd_tpu.physics.rdf import radial_distribution, rdf_l2
+    from gamd_tpu.train.checkpoint import load_checkpoint
+    from gamd_tpu.train.forcefield import GNNForceField
+    from gamd_tpu.train.state import build_model, create_train_state
+
+    system = get_preset(args.system)
+    model_cfg = ModelConfig(
+        encoding_size=args.encoding_size, hidden_dim=args.hidden_dim,
+        edge_embedding_dim=args.edge_embedding_dim,
+        conv_layers=args.conv_layer, use_layer_norm=True)
+    model = build_model(model_cfg, system)
+    state = create_train_state(model, system, TrainConfig(), 1)
+    state = load_checkpoint(args.ckpt, state)
+    ff = GNNForceField(state, system, model_cfg)
+
+    # Ground-truth frames.
+    files = sorted(glob.glob(os.path.join(args.data_dir, "data_*.npz")))
+    if not files:
+        raise SystemExit(f"no frames in {args.data_dir}")
+    gt_frames = []
+    for f in files[:args.max_gt_frames]:
+        with np.load(f) as z:
+            pos = z["pos"].astype(np.float32)
+            if args.system == "tip4p":
+                pos = pos[np.mod(np.arange(pos.shape[0]), 4) < 3]
+            gt_frames.append(pos)
+    gt_frames = np.stack(gt_frames)
+
+    # GNN rollout from the last ground-truth frame.
+    md = MDConfig(integrator=args.integrator, n_steps=args.steps,
+                  temperature=system.temperature, dt_fs=system.dt_fs,
+                  friction_per_ps=system.friction_per_ps, rebuild_every=20)
+    sim = Simulation(ff.force_fn(), system, md)
+    st = sim.init_state(jnp.asarray(gt_frames[-1]),
+                        rng=jax.random.PRNGKey(0))
+    result = sim.run(st, args.steps)
+    jax.block_until_ready(result.state.pos)
+    if bool(result.overflow):
+        print("WARNING: neighbor overflow during rollout")
+
+    frames = np.asarray(result.positions)
+    n_equil = int(len(frames) * args.equil_fraction)
+    frames = frames[n_equil:]
+
+    species = None
+    if args.system in ("tip3p", "tip4p"):
+        species = np.arange(system.n_atoms) % 3 == 0     # O-O RDF
+
+    r, g_gnn = radial_distribution(frames, system.box, n_bins=args.n_bins,
+                                   species_a=species, species_b=species)
+    _, g_gt = radial_distribution(gt_frames, system.box, n_bins=args.n_bins,
+                                  species_a=species, species_b=species)
+    temps = np.asarray(result.thermo.temperature)
+    report = {
+        "rdf_l2": rdf_l2(g_gnn, g_gt),
+        "rdf_peak_gnn": float(g_gnn.max()),
+        "rdf_peak_gt": float(g_gt.max()),
+        "rdf_peak_pos_gnn": float(r[g_gnn.argmax()]),
+        "rdf_peak_pos_gt": float(r[g_gt.argmax()]),
+        "temperature_mean": float(temps[len(temps) // 2:].mean()),
+        "temperature_target": system.temperature,
+        "n_rollout_frames": int(frames.shape[0]),
+        "n_gt_frames": int(gt_frames.shape[0]),
+        "steps": args.steps,
+    }
+    for k, v in report.items():
+        print(f"{k}: {v}")
+    if args.json_out:
+        with open(args.json_out, "w") as f:
+            json.dump({**report, "r": r.tolist(), "g_gnn": g_gnn.tolist(),
+                       "g_gt": g_gt.tolist()}, f)
+
+
+if __name__ == "__main__":
+    main()

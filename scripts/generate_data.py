@@ -16,7 +16,7 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 def main():
     parser = argparse.ArgumentParser()
-    parser.add_argument("--system", default="lj", choices=["lj"])
+    parser.add_argument("--system", default="lj", choices=["lj", "tip3p", "tip4p"])
     parser.add_argument("--out", default="./md_dataset/lj_data")
     parser.add_argument("--seeds", default=10, type=int)
     parser.add_argument("--frames", default=1000, type=int)
@@ -24,12 +24,23 @@ def main():
     parser.add_argument("--particles", default=258, type=int)
     args = parser.parse_args()
 
-    from gamd_tpu.physics.generate import generate_lj_dataset
-
-    generate_lj_dataset(args.out, seeds=args.seeds,
-                        frames_per_seed=args.frames,
-                        record_interval=args.interval,
-                        n_particles=args.particles)
+    if args.system == "lj":
+        from gamd_tpu.physics.generate import generate_lj_dataset
+        generate_lj_dataset(args.out, seeds=args.seeds,
+                            frames_per_seed=args.frames,
+                            record_interval=args.interval,
+                            n_particles=args.particles)
+    elif args.system == "tip4p":
+        from gamd_tpu.physics.generate import generate_tip4p_dataset
+        generate_tip4p_dataset(args.out, seeds=args.seeds,
+                               frames_per_seed=args.frames,
+                               record_interval=args.interval)
+    else:
+        from gamd_tpu.physics.generate import generate_water_dataset
+        generate_water_dataset(args.out, seeds=args.seeds,
+                               frames_per_seed=args.frames,
+                               record_interval=args.interval,
+                               n_molecules=args.particles if args.particles != 258 else 258)
     print(f"Wrote {args.seeds * args.frames} frames to {args.out}")
 
 

@@ -84,3 +84,78 @@ def test_fused_edge_mlp_aggregate_gradients():
     g_ref = jax.grad(loss_ref)(w1)
     np.testing.assert_allclose(np.asarray(g_pallas), np.asarray(g_ref),
                                rtol=2e-2, atol=2e-2)
+
+
+def test_fused_conv_message_matches_reference():
+    from gamd_tpu.ops.pallas_mp import (_conv_msg_reference,
+                                        fused_conv_message)
+    rng = np.random.RandomState(3)
+    n, k, e_dim, h_dim, d = 20, 8, 128, 128, 128   # n not tile-divisible
+    e = jnp.asarray(rng.randn(n, k, e_dim).astype(np.float32) * 0.3)
+    h_src = jnp.asarray(rng.randn(n, k, d).astype(np.float32) * 0.3)
+    src_code = jnp.asarray(rng.randn(n, k, h_dim).astype(np.float32) * 0.3)
+    dst_code = jnp.asarray(rng.randn(n, h_dim).astype(np.float32) * 0.3)
+    mask = jnp.asarray(rng.rand(n, k) > 0.3)
+    ws = [jnp.asarray(rng.randn(*s).astype(np.float32) * 0.08)
+          for s in [(e_dim, h_dim), (h_dim,), (h_dim, h_dim), (h_dim,),
+                    (h_dim, h_dim), (h_dim,), (h_dim, d), (d,)]]
+    ref = _conv_msg_reference(e, h_src, src_code, dst_code, mask, *ws)
+    out = fused_conv_message(e, h_src, src_code, dst_code, mask, *ws,
+                             8, True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-3, atol=1e-3)
+
+
+def test_fused_conv_message_grads_match():
+    from gamd_tpu.ops.pallas_mp import (_conv_msg_reference,
+                                        fused_conv_message)
+    rng = np.random.RandomState(4)
+    n, k, dim = 8, 4, 128
+    e = jnp.asarray(rng.randn(n, k, dim).astype(np.float32) * 0.3)
+    h_src = jnp.asarray(rng.randn(n, k, dim).astype(np.float32) * 0.3)
+    src_code = jnp.asarray(rng.randn(n, k, dim).astype(np.float32) * 0.3)
+    dst_code = jnp.asarray(rng.randn(n, dim).astype(np.float32) * 0.3)
+    mask = jnp.asarray(rng.rand(n, k) > 0.2)
+    ws = [jnp.asarray(rng.randn(*s).astype(np.float32) * 0.08)
+          for s in [(dim, dim), (dim,), (dim, dim), (dim,),
+                    (dim, dim), (dim,), (dim, dim), (dim,)]]
+
+    g_p = jax.grad(lambda w: jnp.sum(fused_conv_message(
+        e, h_src, src_code, dst_code, mask, w, *ws[1:], 8, True) ** 2))(ws[0])
+    g_r = jax.grad(lambda w: jnp.sum(_conv_msg_reference(
+        e, h_src, src_code, dst_code, mask, w, *ws[1:]) ** 2))(ws[0])
+    np.testing.assert_allclose(np.asarray(g_p), np.asarray(g_r),
+                               rtol=2e-2, atol=2e-2)
+
+
+def test_gamdnet_pallas_flag_matches_xla():
+    """Same params, pallas on/off -> same forces (interpret mode on CPU)."""
+    from unittest import mock
+    import gamd_tpu.ops.pallas_mp as pm
+    from gamd_tpu.core.config import ModelConfig
+    from gamd_tpu.models import GAMDNet
+    from gamd_tpu.neighbors import dense_neighbor_list
+
+    rng = np.random.RandomState(5)
+    n, k, box, cutoff = 20, 8, 10.0, 3.5
+    pos = rng.uniform(0, box, size=(1, n, 3)).astype(np.float32)
+    idx, mask, _ = dense_neighbor_list(pos[0], box, cutoff, k_max=k)
+    pos, idx, mask = jnp.asarray(pos), idx[None], mask[None]
+
+    cfg_x = ModelConfig(encoding_size=128, hidden_dim=128,
+                        edge_embedding_dim=128, conv_layers=2)
+    cfg_p = ModelConfig(encoding_size=128, hidden_dim=128,
+                        edge_embedding_dim=128, conv_layers=2,
+                        use_pallas=True)
+    m_x = GAMDNet(cfg=cfg_x, species="lj")
+    m_p = GAMDNet(cfg=cfg_p, species="lj")
+    params = m_x.init(jax.random.PRNGKey(0), pos, idx, mask, box, 0.0, 1.0)
+    out_x = m_x.apply(params, pos, idx, mask, box, 0.0, 1.0)
+
+    orig = pm._conv_msg_forward
+    with mock.patch.object(
+            pm, "_conv_msg_forward",
+            lambda *a: orig(*a[:-1], True)):   # force interpret on CPU
+        out_p = m_p.apply(params, pos, idx, mask, box, 0.0, 1.0)
+    np.testing.assert_allclose(np.asarray(out_p), np.asarray(out_x),
+                               rtol=2e-3, atol=2e-3)

@@ -263,3 +263,30 @@ def test_train_data_parallel_mesh():
     b = jax.tree.leaves(state_local.params)
     for x, y in zip(a, b):
         np.testing.assert_allclose(np.asarray(x), np.asarray(y), atol=1e-5)
+
+
+def test_trajectory_dataset_pack_cache(tmp_path):
+    """Native (or fallback) packing matches per-file reads exactly."""
+    d = tmp_path / "lj_data"
+    d.mkdir()
+    rng = np.random.RandomState(2)
+    for seed in range(2):
+        for t in range(4):
+            np.savez(d / f"data_{seed}_{t}.npz",
+                     pos=rng.randn(10, 3).astype(np.float32),
+                     vel=rng.randn(10, 3).astype(np.float32),
+                     forces=rng.randn(10, 3).astype(np.float32))
+    cache = str(tmp_path / "pack.npz")
+    ds_packed = TrajectoryDataset(str(d), sample_num=4, seed_num=2,
+                                  mode="train", pack_cache=cache)
+    ds_files = TrajectoryDataset(str(d), sample_num=4, seed_num=2,
+                                 mode="train")
+    assert os.path.exists(cache)
+    for i in range(len(ds_files)):
+        np.testing.assert_array_equal(ds_packed[i]["pos"], ds_files[i]["pos"])
+        np.testing.assert_array_equal(ds_packed[i]["forces"],
+                                      ds_files[i]["forces"])
+    # Second construction reads the cache (no rebuild).
+    ds2 = TrajectoryDataset(str(d), sample_num=4, seed_num=2, mode="train",
+                            pack_cache=cache)
+    np.testing.assert_array_equal(ds2[0]["pos"], ds_packed[0]["pos"])
