@@ -87,3 +87,19 @@ def center_positions(pos):
     """
     offset = jnp.mean(pos, axis=0)
     return pos - offset, offset
+
+
+def pairwise_displacement_two_system(pos1, pos2, box):
+    """Min-image displacement matrix between two particle sets.
+
+    dr[i, j] = min_image(pos1[j] - pos2[i]) — the padded-shape analogue of
+    the reference's pair_distance_two_system
+    (reference: /root/reference/code/md_module.py:81-91).
+
+    Args:
+        pos1: [N1, 3]; pos2: [N2, 3]; box: scalar or [3].
+
+    Returns:
+        [N2, N1, 3].
+    """
+    return min_image(pos1[None, :, :] - pos2[:, None, :], box)

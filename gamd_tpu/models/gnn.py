@@ -161,14 +161,12 @@ class EdgeGatedConv(nn.Module):
 
         new_e = None
         if self.use_pallas and not self.update_edge_emb:
-            from gamd_tpu.ops.pallas_mp import fused_conv_message
-            h_src = gather_nodes(h, idx)
-            src_code = gather_nodes(src_nodes, idx)
+            from gamd_tpu.ops.pallas_mp import fused_conv_gather_message
             agg = jax.vmap(
-                lambda eb, hs, sc, dc, mk: fused_conv_message(
-                    eb, hs, sc, dc, mk, w_e1, b_e1, w_e2, b_e2,
+                lambda eb, ib, mk, hb, sb, db: fused_conv_gather_message(
+                    eb, ib, mk, hb, sb, db, w_e1, b_e1, w_e2, b_e2,
                     w_t1, b_t1, w_t2, b_t2)
-            )(e, h_src, src_code, dst_code, agg_mask)
+            )(e, idx, agg_mask, h, src_nodes, dst_code)
         else:
             cd = (lambda x: x) if self.dtype is None else (
                 lambda x: x.astype(self.dtype))

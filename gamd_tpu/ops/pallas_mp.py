@@ -206,24 +206,28 @@ def _conv_msg_kernel(e_ref, hsrc_ref, srcc_ref, dstc_ref, mask_ref,
                      w1_ref, b1_ref, w2_ref, b2_ref,
                      w3_ref, b3_ref, w4_ref, b4_ref, out_ref, *,
                      tile_n: int, k: int):
+    """Matmuls run in bf16 on the MXU with fp32 accumulation (the cast lives
+    in VMEM, unlike the XLA bf16 policy whose convert ops round-trip HBM —
+    measured slower than fp32 there). VPU activations stay fp32."""
     e_dim = w1_ref.shape[0]
     h_dim = w1_ref.shape[1]
     d = w4_ref.shape[1]
+    bf = jnp.bfloat16
+
+    def mm(a, w_ref):
+        return jnp.dot(a.astype(bf), w_ref[:, :].astype(bf),
+                       preferred_element_type=jnp.float32)
+
     x = e_ref[:, :, :].reshape(tile_n * k, e_dim)
     # edge_affine: Linear -> silu -> Linear (MLP hl=2, not act-first)
-    z = jnp.dot(x, w1_ref[:, :], preferred_element_type=jnp.float32)
-    z = _silu(z + b1_ref[0, :])
-    z = jnp.dot(z, w2_ref[:, :], preferred_element_type=jnp.float32)
-    z = z + b2_ref[0, :]
+    z = _silu(mm(x, w1_ref) + b1_ref[0, :])
+    z = mm(z, w2_ref) + b2_ref[0, :]
     # + src/dst affine codes
     z = z + srcc_ref[:, :, :].reshape(tile_n * k, h_dim)
     z = z + jnp.repeat(dstc_ref[:, :], k, axis=0)
     # theta_edge: silu -> Linear -> silu -> Linear (act-first, hl=2)
-    z = _silu(z)
-    z = jnp.dot(z, w3_ref[:, :], preferred_element_type=jnp.float32)
-    z = _silu(z + b3_ref[0, :])
-    m = jnp.dot(z, w4_ref[:, :], preferred_element_type=jnp.float32)
-    m = m + b4_ref[0, :]
+    z = _silu(mm(_silu(z), w3_ref) + b3_ref[0, :])
+    m = mm(z, w4_ref) + b4_ref[0, :]
     msg = m.reshape(tile_n, k, d) * hsrc_ref[:, :, :]
     msk = mask_ref[:, :].astype(jnp.float32)[:, :, None]
     out_ref[:, :] = jnp.sum(msg * msk, axis=1)
@@ -305,7 +309,7 @@ def _conv_msg_reference(e, h_src, src_code, dst_code, mask,
 @functools.partial(jax.custom_vjp, nondiff_argnums=(13, 14))
 def fused_conv_message(e, h_src, src_code, dst_code, mask,
                        w1, b1, w2, b2, w3, b3, w4, b4,
-                       tile_n: int = 8, interpret: bool = False):
+                       tile_n: int = 16, interpret: bool = False):
     """Fused edge pipeline of one EdgeGatedConv layer (see module docstring).
 
     Args:
@@ -342,3 +346,182 @@ def _conv_msg_bwd(tile_n, interpret, residuals, g):
 
 
 fused_conv_message.defvjp(_conv_msg_fwd, _conv_msg_bwd)
+
+
+# ---------------------------------------------------------------------------
+# Kernel 4: conv layer with IN-KERNEL one-hot MXU gather.
+# Device traces show XLA's row gather for h_src/src_code costs ~35 us per
+# [N,K,128] gather at N=258 (~250 us/step total) — the dominant step cost.
+# Expressing the gather as onehot(idx) @ nodes on the MXU replaces each
+# 35 us gather with a ~2 us bf16 matmul. The one-hot is built per tile from
+# idx via broadcasted_iota compare; node features are VMEM-resident and
+# split hi/lo so two bf16 matmuls reconstruct fp32-accurate rows (a 0/1
+# one-hot is exact in bf16, so each matmul is exact row selection).
+# ---------------------------------------------------------------------------
+
+def _conv_msg_gather_kernel(e_ref, idx_ref, mask_ref, nodes_hi_ref,
+                            nodes_lo_ref, dstc_ref,
+                            w1_ref, b1_ref, w2_ref, b2_ref,
+                            w3_ref, b3_ref, w4_ref, b4_ref, out_ref, *,
+                            tile_n: int, k: int, d: int):
+    e_dim = w1_ref.shape[0]
+    h_dim = w1_ref.shape[1]
+    n_pad = nodes_hi_ref.shape[0]
+    rows = tile_n * k
+    bf = jnp.bfloat16
+
+    def mm(a, w_ref):
+        return jnp.dot(a.astype(bf), w_ref[:, :].astype(bf),
+                       preferred_element_type=jnp.float32)
+
+    # One-hot gather of [hn | src_code] rows via the MXU. (Built with a 3-D
+    # iota: collapsing leading dims is a supported Mosaic reshape, whereas
+    # [TN, K]i32 -> [TN*K, 1] is not.)
+    iota = jax.lax.broadcasted_iota(jnp.int32, (tile_n, k, n_pad), 2)
+    onehot = (iota == idx_ref[:, :][:, :, None]).astype(bf).reshape(
+        rows, n_pad)
+    g = (jnp.dot(onehot, nodes_hi_ref[:, :], preferred_element_type=jnp.float32)
+         + jnp.dot(onehot, nodes_lo_ref[:, :],
+                   preferred_element_type=jnp.float32))   # [rows, 2D]
+    h_src = g[:, :d]
+    src_code = g[:, d:]
+
+    x = e_ref[:, :, :].reshape(rows, e_dim)
+    z = _silu(mm(x, w1_ref) + b1_ref[0, :])
+    z = mm(z, w2_ref) + b2_ref[0, :]
+    z = z + src_code + jnp.repeat(dstc_ref[:, :], k, axis=0)
+    z = _silu(mm(_silu(z), w3_ref) + b3_ref[0, :])
+    m = mm(z, w4_ref) + b4_ref[0, :]
+    msg = (m * h_src).reshape(tile_n, k, d)
+    msk = mask_ref[:, :].astype(jnp.float32)[:, :, None]
+    out_ref[:, :] = jnp.sum(msg * msk, axis=1)
+
+
+def _round_up(x, m):
+    return -(-x // m) * m
+
+
+def _conv_msg_gather_forward(e, idx, mask, hn, src_nodes, dst_code,
+                             w1, b1, w2, b2, w3, b3, w4, b4, tile_n,
+                             interpret):
+    n, k, e_dim = e.shape
+    h_dim = w1.shape[1]
+    d = hn.shape[1]
+    n_tiles = _round_up(n, tile_n)
+    n_nodes_pad = _round_up(n, 128)
+
+    if n_tiles != n:
+        pad = n_tiles - n
+        e = jnp.pad(e, ((0, pad), (0, 0), (0, 0)))
+        idx = jnp.pad(idx, ((0, pad), (0, 0)))
+        mask = jnp.pad(mask, ((0, pad), (0, 0)))
+        dst_code = jnp.pad(dst_code, ((0, pad), (0, 0)))
+
+    nodes = jnp.concatenate([hn, src_nodes], axis=1)          # [N, 2D]
+    nodes = jnp.pad(nodes, ((0, n_nodes_pad - n), (0, 0)))
+    nodes_hi = nodes.astype(jnp.bfloat16)
+    nodes_lo = (nodes - nodes_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+
+    kernel = functools.partial(_conv_msg_gather_kernel, tile_n=tile_n, k=k,
+                               d=d)
+    f32 = lambda a: a.astype(jnp.float32)
+    row = lambda a: a.reshape(1, -1).astype(jnp.float32)
+    out = pl.pallas_call(
+        kernel,
+        grid=(n_tiles // tile_n,),
+        in_specs=[
+            pl.BlockSpec((tile_n, k, e_dim), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile_n, k), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile_n, k), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((n_nodes_pad, 2 * d), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((n_nodes_pad, 2 * d), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile_n, h_dim), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((e_dim, h_dim), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, h_dim), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((h_dim, h_dim), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, h_dim), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((h_dim, h_dim), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, h_dim), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((h_dim, d), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, d), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((tile_n, d), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n_tiles, d), jnp.float32),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * n * k * (h_dim * (e_dim + 2 * h_dim + d)
+                               + 2 * n_nodes_pad * 2 * d),
+            bytes_accessed=4 * n * k * e_dim,
+            transcendentals=3 * n * k * h_dim,
+        ),
+        interpret=interpret,
+    )(f32(e), idx.astype(jnp.int32), mask, nodes_hi, nodes_lo, f32(dst_code),
+      f32(w1), row(b1), f32(w2), row(b2), f32(w3), row(b3), f32(w4), row(b4))
+    return out[:n]
+
+
+def _conv_msg_gather_reference(e, idx, mask, hn, src_nodes, dst_code,
+                               w1, b1, w2, b2, w3, b3, w4, b4):
+    h_src = hn[idx]
+    src_code = src_nodes[idx]
+    z = _silu(e @ w1 + b1) @ w2 + b2
+    z = z + src_code + dst_code[:, None, :]
+    z = _silu(_silu(z) @ w3 + b3) @ w4 + b4
+    return jnp.sum(jnp.where(mask[..., None], h_src * z, 0.0), axis=1)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(14, 15))
+def fused_conv_gather_message(e, idx, mask, hn, src_nodes, dst_code,
+                              w1, b1, w2, b2, w3, b3, w4, b4,
+                              tile_n: int = 16, interpret: bool = False):
+    """Full conv-layer edge pipeline INCLUDING the neighbor gathers.
+
+    Args:
+        e:         [N, K, E] edge embeddings.
+        idx:       [N, K] int32 neighbor ids.
+        mask:      [N, K] bool aggregation mask.
+        hn:        [N, D] normalized node features (gathered in-kernel).
+        src_nodes: [N, H] src_affine(hn) (gathered in-kernel).
+        dst_code:  [N, H] dst_affine(hn).
+    """
+    return _conv_msg_gather_forward(e, idx, mask, hn, src_nodes, dst_code,
+                                    w1, b1, w2, b2, w3, b3, w4, b4,
+                                    tile_n, interpret)
+
+
+def _conv_gather_fwd(e, idx, mask, hn, src_nodes, dst_code,
+                     w1, b1, w2, b2, w3, b3, w4, b4, tile_n, interpret):
+    out = _conv_msg_gather_forward(e, idx, mask, hn, src_nodes, dst_code,
+                                   w1, b1, w2, b2, w3, b3, w4, b4,
+                                   tile_n, interpret)
+    return out, (e, idx, mask, hn, src_nodes, dst_code,
+                 w1, b1, w2, b2, w3, b3, w4, b4)
+
+
+def _conv_gather_bwd(tile_n, interpret, residuals, g):
+    (e, idx, mask, hn, src_nodes, dst_code,
+     w1, b1, w2, b2, w3, b3, w4, b4) = residuals
+    _, vjp = jax.vjp(
+        lambda ee, hh, ss, dd, *ws: _conv_msg_gather_reference(
+            ee, idx, mask, hh, ss, dd, *ws),
+        e, hn, src_nodes, dst_code, w1, b1, w2, b2, w3, b3, w4, b4)
+    grads = vjp(g)
+    return (grads[0], None, None, grads[1], grads[2], grads[3]) + \
+        tuple(grads[4:])
+
+
+fused_conv_gather_message.defvjp(_conv_gather_fwd, _conv_gather_bwd)

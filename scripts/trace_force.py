@@ -22,8 +22,10 @@ def main():
     from gamd_tpu.train.state import build_model, create_train_state
 
     dtype = sys.argv[1] if len(sys.argv) > 1 else "float32"
+    use_pallas = "pallas" in sys.argv
     system = get_preset("lj", skin=0.5, nbr_capacity=64)
-    model_cfg = lj_model_config(compute_dtype=dtype)
+    model_cfg = lj_model_config(compute_dtype=dtype, use_pallas=use_pallas)
+    print("use_pallas:", use_pallas)
     state = create_train_state(build_model(model_cfg, system), system,
                                TrainConfig(), 1, rng=jax.random.PRNGKey(0))
     ff = GNNForceField(state, system, model_cfg)

@@ -71,3 +71,13 @@ def test_distance_invariant_to_image_shift():
     d2 = float(space.distance(a, b + box * 3, box))
     assert d1 == pytest.approx(d2, abs=1e-5)
     assert d1 == pytest.approx(np.sqrt(3 * 1.5**2), abs=1e-5)
+
+
+def test_pairwise_displacement_two_system():
+    box = 10.0
+    a = np.array([[1.0, 0, 0], [9.0, 0, 0]], dtype=np.float32)
+    b = np.array([[0.0, 0, 0]], dtype=np.float32)
+    out = np.asarray(space.pairwise_displacement_two_system(a, b, box))
+    assert out.shape == (1, 2, 3)
+    np.testing.assert_allclose(out[0, 0], [1, 0, 0], atol=1e-6)
+    np.testing.assert_allclose(out[0, 1], [-1, 0, 0], atol=1e-6)

@@ -290,3 +290,37 @@ def test_trajectory_dataset_pack_cache(tmp_path):
     ds2 = TrajectoryDataset(str(d), sample_num=4, seed_num=2, mode="train",
                             pack_cache=cache)
     np.testing.assert_array_equal(ds2[0]["pos"], ds_packed[0]["pos"])
+
+
+def test_train_step_dynamic_box_dft_variant():
+    """RPBE-style config: per-sample [B,3] boxes, water one-hot, flip_dir,
+    box rotation in augmentation (reference: train_network_real_large.py)."""
+    rng = np.random.RandomState(3)
+    n = 12   # 4 molecules
+    system = SystemConfig(
+        name="tiny-dft", n_atoms=n, box=None, cutoff=4.0, nbr_capacity=n,
+        skin=0.0, species="water", has_bonds=False,
+        masses=(15.9994, 1.008, 1.008), temperature=300.0)
+    cfg_m = ModelConfig(encoding_size=16, hidden_dim=16,
+                        edge_embedding_dim=16, conv_layers=2, flip_dir=True)
+    cfg_t = TrainConfig(max_epoch=1, batch_size=2, rotate_aug=True,
+                        jitter_sigma=0.00025, lambda_net_force=0.5e-2)
+    model = build_model(cfg_m, system)
+    tx = make_optimizer(cfg_t, 1)
+    state = create_train_state(model, system, cfg_t, 1)
+    step = make_train_step(model, system, cfg_t, tx)
+
+    batch = {
+        "pos": jnp.asarray(rng.uniform(0, 9, (2, n, 3)).astype(np.float32)),
+        "forces": jnp.asarray(rng.randn(2, n, 3).astype(np.float32)),
+        "feat": jnp.asarray(np.tile(
+            (np.arange(n) % 3 == 0).astype(np.float32).reshape(1, n, 1),
+            (2, 1, 1))),
+        "box_size": jnp.asarray(np.array([[9.0, 10.0, 11.0],
+                                          [10.0, 10.0, 10.0]], np.float32)),
+    }
+    state, metrics = step(state, batch)
+    assert np.isfinite(float(metrics["loss"]))
+    state, metrics2 = step(state, batch)
+    assert np.isfinite(float(metrics2["loss"]))
+    assert int(state.step) == 2
