@@ -183,6 +183,26 @@ class Simulation:
             self._run_cache[key] = self._make_run(n_steps)
         return self._run_cache[key](state)
 
+    # -- independent replicas (vmapped) ---------------------------------
+
+    def init_replicas(self, pos, n_replicas: int, rng=None):
+        """n_replicas independent states from one configuration (different
+        Maxwell-Boltzmann velocities / thermostat streams per replica)."""
+        rng = jax.random.PRNGKey(self.md.seed) if rng is None else rng
+        keys = jax.random.split(rng, n_replicas)
+        pos = jnp.asarray(pos, jnp.float32)
+        return jax.vmap(lambda k: self.init_state(pos, rng=k))(keys)
+
+    def run_replicas(self, states, n_steps: int) -> RunResult:
+        """Advance a batch of replicas in lockstep (one fused program; the
+        batch dimension fills the MXU that a single 258-atom chain cannot).
+        All RunResult fields gain a leading replica axis."""
+        key = ("replicas", n_steps, type(states).__name__)
+        if key not in self._run_cache:
+            self._run_cache[key] = jax.jit(
+                jax.vmap(self._make_run(n_steps)))
+        return self._run_cache[key](states)
+
 
 def simulate(force_fn, system: SystemConfig, md: MDConfig, pos, vel=None,
              rng=None, nbr_method: str = "dense") -> RunResult:

@@ -263,27 +263,62 @@ class GAMDNet(nn.Module):
         dtype = jnp.dtype(cfg.compute_dtype)
         cdtype = None if dtype == jnp.float32 else dtype
 
-        # ---- edge features ------------------------------------------------
-        unit, dist = edge_geometry(pos, idx, box, flip_dir=cfg.flip_dir)
-        std_dist = (dist - length_mean) / length_std           # [B, N, K]
-        feats = [unit, std_dist[..., None]]
-        if cfg.expand_edge:
-            feats.append(rbf_expand(std_dist, cfg.rbf_low, cfg.rbf_high,
-                                    cfg.rbf_gap))
-        if self.use_bond:
-            if bond is None:
-                raise ValueError("use_bond=True requires a bond channel")
-            feats.append(bond[..., None])
-        edge_feat = jnp.concatenate(feats, axis=-1)
+        # ---- edge encoder parameters (explicit: shared by XLA and Pallas
+        # paths; reference MLP hl=3 + LayerNorm, nn_module.py:598-600) ------
+        in_feats = 3 + 1 + (cfg.n_rbf if cfg.expand_edge else 0) \
+            + (1 if self.use_bond else 0)
+        init_w = nn.initializers.lecun_normal()
+        init_b = nn.initializers.zeros_init()
+        w0 = self.param("edge_encoder_w0", init_w, (in_feats, cfg.hidden_dim))
+        b0 = self.param("edge_encoder_b0", init_b, (cfg.hidden_dim,))
+        w1 = self.param("edge_encoder_w1", init_w,
+                        (cfg.hidden_dim, cfg.hidden_dim))
+        b1 = self.param("edge_encoder_b1", init_b, (cfg.hidden_dim,))
+        w2 = self.param("edge_encoder_w2", init_w,
+                        (cfg.hidden_dim, cfg.edge_embedding_dim))
+        b2 = self.param("edge_encoder_b2", init_b, (cfg.edge_embedding_dim,))
+        ln_scale = self.param("edge_ln_scale", nn.initializers.ones_init(),
+                              (cfg.edge_embedding_dim,))
+        ln_bias = self.param("edge_ln_bias", init_b,
+                             (cfg.edge_embedding_dim,))
+        act = get_activation(cfg.mlp_activation)
 
-        if cdtype is not None:
-            edge_feat = edge_feat.astype(cdtype)
-        e = MLP(cfg.edge_embedding_dim, hidden_dim=cfg.hidden_dim,
-                hidden_layer=3, activation=cfg.mlp_activation,
-                dtype=cdtype, name="edge_encoder")(edge_feat)
-        e = nn.LayerNorm(name="edge_layer_norm")(e)
-        e = nn.Dropout(cfg.dropout, name="edge_dropout")(
-            e, deterministic=not train)
+        pallas_encoder_ok = (cfg.use_pallas and not train
+                             and not self.use_bond and cfg.expand_edge
+                             and jnp.ndim(box) == 0)
+        if pallas_encoder_ok:
+            from gamd_tpu.ops.pallas_encoder import fused_edge_encoder
+            e, mask = jax.vmap(
+                lambda p, i, m: fused_edge_encoder(
+                    p, i, m, box, None, length_mean, length_std,
+                    w0, b0, w1, b1, w2, b2, ln_scale, ln_bias,
+                    rbf_low=cfg.rbf_low, rbf_high=cfg.rbf_high,
+                    rbf_gap=cfg.rbf_gap, flip_dir=cfg.flip_dir)
+            )(pos, idx, mask)
+        else:
+            unit, dist = edge_geometry(pos, idx, box, flip_dir=cfg.flip_dir)
+            std_dist = (dist - length_mean) / length_std       # [B, N, K]
+            feats = [unit, std_dist[..., None]]
+            if cfg.expand_edge:
+                feats.append(rbf_expand(std_dist, cfg.rbf_low, cfg.rbf_high,
+                                        cfg.rbf_gap))
+            if self.use_bond:
+                if bond is None:
+                    raise ValueError("use_bond=True requires a bond channel")
+                feats.append(bond[..., None])
+            edge_feat = jnp.concatenate(feats, axis=-1)
+            if cdtype is not None:
+                edge_feat = edge_feat.astype(cdtype)
+            ew = (lambda x: x) if cdtype is None else (
+                lambda x: x.astype(cdtype))
+            z = act(edge_feat @ ew(w0) + ew(b0))
+            z = act(z @ ew(w1) + ew(b1))
+            e = z @ ew(w2) + ew(b2)
+            e = nn.LayerNorm(name="edge_layer_norm",
+                             use_scale=False, use_bias=False)(e)
+            e = e * ln_scale + ln_bias
+            e = nn.Dropout(cfg.dropout, name="edge_dropout")(
+                e, deterministic=not train)
 
         # ---- node encoding ------------------------------------------------
         if self.species == "lj":

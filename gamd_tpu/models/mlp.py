@@ -28,7 +28,8 @@ def get_activation(name: str) -> Callable:
         "sigmoid": nn.sigmoid,
         "tanh": nn.tanh,
         "elu": nn.elu,
-        "gelu": nn.gelu,
+        # exact (erf) form to match torch nn.GELU's default
+        "gelu": lambda x: nn.gelu(x, approximate=False),
         "silu": nn.silu,
     }
     if name not in table:

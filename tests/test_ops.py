@@ -153,10 +153,15 @@ def test_gamdnet_pallas_flag_matches_xla():
     params = m_x.init(jax.random.PRNGKey(0), pos, idx, mask, box, 0.0, 1.0)
     out_x = m_x.apply(params, pos, idx, mask, box, 0.0, 1.0)
 
+    import gamd_tpu.ops.pallas_encoder as pe
     orig = pm._conv_msg_gather_forward
+    orig_enc = pe.fused_edge_encoder
     with mock.patch.object(
             pm, "_conv_msg_gather_forward",
-            lambda *a: orig(*a[:-1], True)):   # force interpret on CPU
+            lambda *a: orig(*a[:-1], True)), \
+         mock.patch.object(
+            pe, "fused_edge_encoder",
+            lambda *a, **kw: orig_enc(*a, **{**kw, "interpret": True})):
         out_p = m_p.apply(params, pos, idx, mask, box, 0.0, 1.0)
     np.testing.assert_allclose(np.asarray(out_p), np.asarray(out_x),
                                rtol=0.08, atol=0.08)
@@ -194,3 +199,73 @@ def test_onehot_hi_lo_gather_is_exact():
     recon = np.asarray(hi, np.float32) + np.asarray(lo, np.float32)
     # bf16 hi + bf16 lo carries ~16 mantissa bits: near-fp32 row values.
     np.testing.assert_allclose(recon, x, rtol=3e-5, atol=3e-5)
+
+
+def test_fused_edge_encoder_matches_xla(monkeypatch):
+    """Encoder kernel (interpret) vs the model's XLA feature+encoder path."""
+    import gamd_tpu.ops.pallas_encoder as pe
+    from gamd_tpu.core import space
+    from gamd_tpu.models.gnn import edge_geometry, rbf_expand
+    from gamd_tpu.models.mlp import get_activation
+
+    rng = np.random.RandomState(8)
+    n, k, box = 20, 8, 10.0
+    hid, e_dim, n_rbf = 128, 128, 40
+    pos = jnp.asarray(rng.uniform(0, box, (n, 3)).astype(np.float32))
+    from gamd_tpu.neighbors import dense_neighbor_list
+    idx, mask, _ = dense_neighbor_list(pos, box, 4.0, k_max=k)
+
+    w0 = jnp.asarray(rng.randn(4 + n_rbf, hid).astype(np.float32) * 0.1)
+    b0 = jnp.asarray(rng.randn(hid).astype(np.float32) * 0.1)
+    w1 = jnp.asarray(rng.randn(hid, hid).astype(np.float32) * 0.1)
+    b1 = jnp.asarray(rng.randn(hid).astype(np.float32) * 0.1)
+    w2 = jnp.asarray(rng.randn(hid, e_dim).astype(np.float32) * 0.1)
+    b2 = jnp.asarray(rng.randn(e_dim).astype(np.float32) * 0.1)
+    ln_s = jnp.asarray(1.0 + 0.1 * rng.randn(e_dim).astype(np.float32))
+    ln_b = jnp.asarray(0.1 * rng.randn(e_dim).astype(np.float32))
+    lm, ls = 2.0, 0.8
+
+    # XLA reference
+    act = get_activation("gelu")
+    unit, dist = edge_geometry(pos[None], idx[None], box)
+    std = (dist - lm) / ls
+    feat = jnp.concatenate([unit, std[..., None], rbf_expand(std)], -1)[0]
+    z = act(feat @ w0 + b0)
+    z = act(z @ w1 + b1)
+    z = z @ w2 + b2
+    mu = z.mean(-1, keepdims=True)
+    zc = z - mu
+    ref = zc * jax.lax.rsqrt((zc**2).mean(-1, keepdims=True) + 1e-6)
+    ref = ref * ln_s + ln_b
+
+    e, live = pe.fused_edge_encoder(
+        pos, idx, mask, box, None, lm, ls, w0, b0, w1, b1, w2, b2,
+        ln_s, ln_b, tile_n=4, interpret=True)
+    assert e.dtype == jnp.bfloat16
+    np.testing.assert_array_equal(np.asarray(live), np.asarray(mask))
+    diff = np.abs(np.asarray(e, np.float32) - np.asarray(ref))
+    # bf16 output + bf16 matmuls: loose but meaningful agreement.
+    assert diff.mean() < 0.05, diff.mean()
+    assert diff.max() < 0.5, diff.max()
+
+
+def test_fused_edge_encoder_cutoff_mask():
+    """With a cutoff, the kernel refines the build mask to the true cutoff."""
+    import gamd_tpu.ops.pallas_encoder as pe
+    from gamd_tpu.neighbors import dense_neighbor_list
+    from gamd_tpu.neighbors.dense import refresh_mask
+
+    rng = np.random.RandomState(9)
+    n, k, box, cutoff = 16, 8, 10.0, 3.0
+    pos = jnp.asarray(rng.uniform(0, box, (n, 3)).astype(np.float32))
+    idx, bmask, _ = dense_neighbor_list(pos, box, cutoff + 1.0, k_max=k)
+    expected = refresh_mask(pos, box, cutoff, idx, bmask)
+
+    hid = 128
+    zeros = jnp.zeros
+    _, live = pe.fused_edge_encoder(
+        pos, idx, bmask, box, cutoff, 0.0, 1.0,
+        zeros((44, hid)), zeros((hid,)), zeros((hid, hid)), zeros((hid,)),
+        zeros((hid, hid)), zeros((hid,)), jnp.ones((hid,)), zeros((hid,)),
+        tile_n=4, interpret=True)
+    np.testing.assert_array_equal(np.asarray(live), np.asarray(expected))

@@ -145,3 +145,18 @@ def test_rdf_ideal_gas_is_flat():
 def test_rdf_l2_zero_for_identical():
     g = np.linspace(0, 2, 50)
     assert rdf_l2(g, g) == 0.0
+
+
+def test_replica_batched_simulation():
+    system, params, pos = small_lj_system(n=32)
+    md = MDConfig(integrator="langevin", temperature=100.0, rebuild_every=5)
+    sim = Simulation(lj.lj_force_fn(system.box, params), system, md)
+    states = sim.init_replicas(jnp.asarray(pos), n_replicas=4,
+                               rng=jax.random.PRNGKey(7))
+    result = sim.run_replicas(states, 30)
+    assert result.thermo.temperature.shape == (4, 30)
+    assert result.state.pos.shape == (4, 32, 3)
+    assert np.all(np.isfinite(np.asarray(result.state.pos)))
+    # Replicas diverge (independent noise streams).
+    p = np.asarray(result.state.pos)
+    assert np.abs(p[0] - p[1]).max() > 1e-4
