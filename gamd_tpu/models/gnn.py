@@ -125,9 +125,10 @@ class EdgeGatedConv(nn.Module):
     use_pallas: bool = False
 
     @nn.compact
-    def __call__(self, h, e, idx, mask, train: bool = False):
-        """h [B,N,D], e [B,N,K,E], idx [B,N,K], mask [B,N,K] ->
-        (h' [B,N,D], e' or None)."""
+    def __call__(self, h_raw, hn, e, idx, mask, train: bool = False):
+        """h_raw [B,N,D] (residual input), hn [B,N,D] (pre-normalized),
+        e [B,N,K,E], idx [B,N,K], mask [B,N,K] ->
+        (h' [B,N,D] with residual applied, e' or None)."""
         act = get_activation(self.activation)
         hd, nd = self.hidden_dim, self.node_dim
         e_dim = e.shape[-1]
@@ -146,9 +147,13 @@ class EdgeGatedConv(nn.Module):
                                                      (hd,), True)
         w_t2, b_t2 = p("theta_edge_w2", (hd, nd)), p("theta_edge_b2",
                                                      (nd,), True)
+        # node update: phi(phi_dst(hn) + phi_edge(agg)) (+ h_raw residual)
+        w_pd, b_pd = p("phi_dst_w", (nd, hd)), p("phi_dst_b", (hd,), True)
+        w_pe, b_pe = p("phi_edge_w", (nd, hd)), p("phi_edge_b", (hd,), True)
+        w_p, b_p = p("phi_w", (hd, nd)), p("phi_b", (nd,), True)
 
-        src_nodes = nn.Dense(hd, dtype=self.dtype, name="src_affine")(h)
-        dst_code = nn.Dense(hd, dtype=self.dtype, name="dst_affine")(h)
+        src_nodes = nn.Dense(hd, dtype=self.dtype, name="src_affine")(hn)
+        dst_code = nn.Dense(hd, dtype=self.dtype, name="dst_affine")(hn)
 
         agg_mask = mask
         if self.drop_edge and train:
@@ -161,31 +166,30 @@ class EdgeGatedConv(nn.Module):
 
         new_e = None
         if self.use_pallas and not self.update_edge_emb:
-            from gamd_tpu.ops.pallas_mp import fused_conv_gather_message
-            agg = jax.vmap(
-                lambda eb, ib, mk, hb, sb, db: fused_conv_gather_message(
-                    eb, ib, mk, hb, sb, db, w_e1, b_e1, w_e2, b_e2,
-                    w_t1, b_t1, w_t2, b_t2)
-            )(e, idx, agg_mask, h, src_nodes, dst_code)
-        else:
-            cd = (lambda x: x) if self.dtype is None else (
-                lambda x: x.astype(self.dtype))
-            edge_code = act(cd(e) @ cd(w_e1) + cd(b_e1)) @ cd(w_e2) + cd(b_e2)
-            src_code = gather_nodes(src_nodes, idx)
-            pre = edge_code + src_code + dst_code[:, :, None, :]
-            e_emb = act(act(pre) @ cd(w_t1) + cd(b_t1)) @ cd(w_t2) + cd(b_t2)
-            if self.update_edge_emb:
-                new_e = nn.LayerNorm(name="edge_layer_norm")(e_emb)
-            h_src = gather_nodes(h, idx)
-            msg = h_src * e_emb                                    # [B,N,K,D]
-            agg = jnp.sum(jnp.where(agg_mask[..., None], msg, 0.0), axis=2)
+            from gamd_tpu.ops.pallas_mp import fused_conv_layer
+            weights = (w_e1, b_e1, w_e2, b_e2, w_t1, b_t1, w_t2, b_t2,
+                       w_pd, b_pd, w_pe, b_pe, w_p, b_p)
+            h_new = jax.vmap(
+                lambda eb, ib, mk, hb, hnb, sb, db: fused_conv_layer(
+                    eb, ib, mk, hb, hnb, sb, db, weights)
+            )(e, idx, agg_mask, h_raw, hn, src_nodes, dst_code)
+            return h_new, None
 
-        out = MLP(self.node_dim, hidden_dim=self.hidden_dim, hidden_layer=1,
-                  activation=self.activation, activation_first=True,
-                  dtype=self.dtype, name="phi")(
-            nn.Dense(self.hidden_dim, dtype=self.dtype, name="phi_dst")(h)
-            + nn.Dense(self.hidden_dim, dtype=self.dtype, name="phi_edge")(agg))
-        return out, new_e
+        cd = (lambda x: x) if self.dtype is None else (
+            lambda x: x.astype(self.dtype))
+        edge_code = act(cd(e) @ cd(w_e1) + cd(b_e1)) @ cd(w_e2) + cd(b_e2)
+        src_code = gather_nodes(src_nodes, idx)
+        pre = edge_code + src_code + dst_code[:, :, None, :]
+        e_emb = act(act(pre) @ cd(w_t1) + cd(b_t1)) @ cd(w_t2) + cd(b_t2)
+        if self.update_edge_emb:
+            new_e = nn.LayerNorm(name="edge_layer_norm")(e_emb)
+        h_src = gather_nodes(hn, idx)
+        msg = h_src * e_emb                                    # [B,N,K,D]
+        agg = jnp.sum(jnp.where(agg_mask[..., None], msg, 0.0), axis=2)
+
+        delta = act(cd(hn) @ cd(w_pd) + cd(b_pd)
+                    + cd(agg) @ cd(w_pe) + cd(b_pe)) @ cd(w_p) + cd(b_p)
+        return h_raw + delta, new_e
 
 
 class ConvBlock(nn.Module):
@@ -213,13 +217,12 @@ class ConvBlock(nn.Module):
                 hn = nn.BatchNorm(use_running_average=not train,
                                   momentum=0.9, epsilon=1e-5,
                                   name=f"norm_{layer}")(h)
-            delta, new_e = EdgeGatedConv(
+            h, new_e = EdgeGatedConv(
                 node_dim=self.node_dim, hidden_dim=self.hidden_dim,
                 activation=self.activation, drop_edge=self.drop_edge,
                 update_edge_emb=self.update_edge_emb, dtype=self.dtype,
                 use_pallas=self.use_pallas,
-                name=f"conv_{layer}")(hn, e, idx, mask, train=train)
-            h = delta + h
+                name=f"conv_{layer}")(h, hn, e, idx, mask, train=train)
             if self.update_edge_emb and new_e is not None:
                 e = new_e
         return h

@@ -525,3 +525,161 @@ def _conv_gather_bwd(tile_n, interpret, residuals, g):
 
 
 fused_conv_gather_message.defvjp(_conv_gather_fwd, _conv_gather_bwd)
+
+
+# ---------------------------------------------------------------------------
+# Kernel 5: FULL conv layer — kernel 4 plus the node update and residual:
+#     h'[i] = h[i] + phi(phi_dst(hn[i]) + phi_edge(agg[i]))
+# Between layers only the [N, D] node arrays and three small node-level
+# projections remain in XLA; all [N, K, *] work stays in VMEM.
+# ---------------------------------------------------------------------------
+
+def _conv_layer_kernel(e_ref, idx_ref, mask_ref, nodes_hi_ref, nodes_lo_ref,
+                       dstc_ref, h_ref, hn_ref,
+                       w1_ref, b1_ref, w2_ref, b2_ref,
+                       w3_ref, b3_ref, w4_ref, b4_ref,
+                       wpd_ref, bpd_ref, wpe_ref, bpe_ref, wp_ref, bp_ref,
+                       out_ref, *, tile_n: int, k: int, d: int):
+    e_dim = w1_ref.shape[0]
+    n_pad = nodes_hi_ref.shape[0]
+    rows = tile_n * k
+    bf = jnp.bfloat16
+
+    def mm(a, w_ref):
+        return jnp.dot(a.astype(bf), w_ref[:, :].astype(bf),
+                       preferred_element_type=jnp.float32)
+
+    iota = jax.lax.broadcasted_iota(jnp.int32, (tile_n, k, n_pad), 2)
+    onehot = (iota == idx_ref[:, :][:, :, None]).astype(bf).reshape(
+        rows, n_pad)
+    g = (jnp.dot(onehot, nodes_hi_ref[:, :],
+                 preferred_element_type=jnp.float32)
+         + jnp.dot(onehot, nodes_lo_ref[:, :],
+                   preferred_element_type=jnp.float32))
+    h_src = g[:, :d]
+    src_code = g[:, d:]
+
+    x = e_ref[:, :, :].reshape(rows, e_dim)
+    z = _silu(mm(x, w1_ref) + b1_ref[0, :])
+    z = mm(z, w2_ref) + b2_ref[0, :]
+    z = z + src_code + jnp.repeat(dstc_ref[:, :], k, axis=0)
+    z = _silu(mm(_silu(z), w3_ref) + b3_ref[0, :])
+    m = mm(z, w4_ref) + b4_ref[0, :]
+    msg = (m * h_src).reshape(tile_n, k, d)
+    msk = mask_ref[:, :].astype(jnp.float32)[:, :, None]
+    agg = jnp.sum(msg * msk, axis=1)                       # [TN, D]
+
+    # node update: phi(phi_dst(hn) + phi_edge(agg)) + residual h
+    hn_t = hn_ref[:, :]
+    pre = (mm(hn_t, wpd_ref) + bpd_ref[0, :]
+           + mm(agg, wpe_ref) + bpe_ref[0, :])
+    out = mm(_silu(pre), wp_ref) + bp_ref[0, :]
+    out_ref[:, :] = h_ref[:, :] + out
+
+
+def _conv_layer_forward(e, idx, mask, h, hn, src_nodes, dst_code, weights,
+                        tile_n, interpret):
+    (w1, b1, w2, b2, w3, b3, w4, b4,
+     wpd, bpd, wpe, bpe, wp, bp) = weights
+    n, k, e_dim = e.shape
+    h_dim = w1.shape[1]
+    d = hn.shape[1]
+    n_tiles = _round_up(n, tile_n)
+    n_nodes_pad = _round_up(n, 128)
+
+    if n_tiles != n:
+        pad = n_tiles - n
+        e = jnp.pad(e, ((0, pad), (0, 0), (0, 0)))
+        idx = jnp.pad(idx, ((0, pad), (0, 0)))
+        mask = jnp.pad(mask, ((0, pad), (0, 0)))
+        dst_code = jnp.pad(dst_code, ((0, pad), (0, 0)))
+        h = jnp.pad(h, ((0, pad), (0, 0)))
+        hn_t = jnp.pad(hn, ((0, pad), (0, 0)))
+    else:
+        hn_t = hn
+
+    nodes = jnp.concatenate([hn, src_nodes], axis=1)
+    nodes = jnp.pad(nodes, ((0, n_nodes_pad - n), (0, 0)))
+    nodes_hi = nodes.astype(jnp.bfloat16)
+    nodes_lo = (nodes - nodes_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+
+    kernel = functools.partial(_conv_layer_kernel, tile_n=tile_n, k=k, d=d)
+    f32 = lambda a: a.astype(jnp.float32)
+    row = lambda a: a.reshape(1, -1).astype(jnp.float32)
+    full = lambda: pl.BlockSpec(memory_space=pltpu.VMEM)
+    tile2 = lambda w: pl.BlockSpec((tile_n, w), lambda i: (i, 0),
+                                   memory_space=pltpu.VMEM)
+    out = pl.pallas_call(
+        kernel,
+        grid=(n_tiles // tile_n,),
+        in_specs=[
+            pl.BlockSpec((tile_n, k, e_dim), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile_n, k), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile_n, k), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            full(), full(),                          # nodes hi/lo
+            tile2(h_dim),                            # dst_code
+            tile2(d),                                # h (residual)
+            tile2(d),                                # hn (phi_dst input)
+            full(), full(), full(), full(),          # w1 b1 w2 b2
+            full(), full(), full(), full(),          # w3 b3 w4 b4
+            full(), full(), full(), full(),          # wpd bpd wpe bpe
+            full(), full(),                          # wp bp
+        ],
+        out_specs=pl.BlockSpec((tile_n, d), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n_tiles, d), jnp.float32),
+        interpret=interpret,
+    )(e if e.dtype == jnp.bfloat16 else f32(e),
+      idx.astype(jnp.int32), mask, nodes_hi, nodes_lo, f32(dst_code),
+      f32(h), f32(hn_t),
+      f32(w1), row(b1), f32(w2), row(b2), f32(w3), row(b3), f32(w4), row(b4),
+      f32(wpd), row(bpd), f32(wpe), row(bpe), f32(wp), row(bp))
+    return out[:n]
+
+
+def _conv_layer_reference(e, idx, mask, h, hn, src_nodes, dst_code, weights):
+    (w1, b1, w2, b2, w3, b3, w4, b4,
+     wpd, bpd, wpe, bpe, wp, bp) = weights
+    e = e.astype(jnp.float32)
+    h_src = hn[idx]
+    src_code = src_nodes[idx]
+    z = _silu(e @ w1 + b1) @ w2 + b2
+    z = z + src_code + dst_code[:, None, :]
+    z = _silu(_silu(z) @ w3 + b3) @ w4 + b4
+    agg = jnp.sum(jnp.where(mask[..., None], h_src * z, 0.0), axis=1)
+    pre = hn @ wpd + bpd + agg @ wpe + bpe
+    return h + _silu(pre) @ wp + bp
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(8, 9))
+def fused_conv_layer(e, idx, mask, h, hn, src_nodes, dst_code, weights,
+                     tile_n: int = 16, interpret: bool = False):
+    """One complete EdgeGatedConv layer (message pipeline + node update +
+    residual) as a single Pallas program. `weights` is the 14-tuple
+    (edge_affine w1,b1,w2,b2; theta w3,b3,w4,b4; phi_dst wpd,bpd;
+    phi_edge wpe,bpe; phi wp,bp). Activation: silu."""
+    return _conv_layer_forward(e, idx, mask, h, hn, src_nodes, dst_code,
+                               weights, tile_n, interpret)
+
+
+def _conv_layer_fwd(e, idx, mask, h, hn, src_nodes, dst_code, weights,
+                    tile_n, interpret):
+    out = _conv_layer_forward(e, idx, mask, h, hn, src_nodes, dst_code,
+                              weights, tile_n, interpret)
+    return out, (e, idx, mask, h, hn, src_nodes, dst_code, weights)
+
+
+def _conv_layer_bwd(tile_n, interpret, residuals, g):
+    e, idx, mask, h, hn, src_nodes, dst_code, weights = residuals
+    _, vjp = jax.vjp(
+        lambda ee, hh, hhn, ss, dd, ww: _conv_layer_reference(
+            ee, idx, mask, hh, hhn, ss, dd, ww),
+        e, h, hn, src_nodes, dst_code, weights)
+    d_e, d_h, d_hn, d_src, d_dst, d_w = vjp(g)
+    return d_e, None, None, d_h, d_hn, d_src, d_dst, d_w
+
+
+fused_conv_layer.defvjp(_conv_layer_fwd, _conv_layer_bwd)

@@ -154,10 +154,10 @@ def test_gamdnet_pallas_flag_matches_xla():
     out_x = m_x.apply(params, pos, idx, mask, box, 0.0, 1.0)
 
     import gamd_tpu.ops.pallas_encoder as pe
-    orig = pm._conv_msg_gather_forward
+    orig = pm._conv_layer_forward
     orig_enc = pe.fused_edge_encoder
     with mock.patch.object(
-            pm, "_conv_msg_gather_forward",
+            pm, "_conv_layer_forward",
             lambda *a: orig(*a[:-1], True)), \
          mock.patch.object(
             pe, "fused_edge_encoder",
@@ -269,3 +269,52 @@ def test_fused_edge_encoder_cutoff_mask():
         zeros((hid, hid)), zeros((hid,)), jnp.ones((hid,)), zeros((hid,)),
         tile_n=4, interpret=True)
     np.testing.assert_array_equal(np.asarray(live), np.asarray(expected))
+
+
+def test_fused_conv_layer_matches_reference():
+    from gamd_tpu.ops.pallas_mp import (_conv_layer_reference,
+                                        fused_conv_layer)
+    rng = np.random.RandomState(10)
+    n, k, dim = 20, 8, 128
+    e = jnp.asarray(rng.randn(n, k, dim).astype(np.float32) * 0.3)
+    idx = jnp.asarray(rng.randint(0, n, (n, k)).astype(np.int32))
+    mask = jnp.asarray(rng.rand(n, k) > 0.3)
+    h = jnp.asarray(rng.randn(n, dim).astype(np.float32) * 0.5)
+    hn = jnp.asarray(rng.randn(n, dim).astype(np.float32) * 0.5)
+    src_nodes = jnp.asarray(rng.randn(n, dim).astype(np.float32) * 0.5)
+    dst_code = jnp.asarray(rng.randn(n, dim).astype(np.float32) * 0.3)
+    weights = tuple(
+        jnp.asarray(rng.randn(*s).astype(np.float32) * 0.08)
+        for s in [(dim, dim), (dim,)] * 7)
+    ref = _conv_layer_reference(e, idx, mask, h, hn, src_nodes, dst_code,
+                                weights)
+    out = fused_conv_layer(e, idx, mask, h, hn, src_nodes, dst_code,
+                           weights, 8, True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=0.05, atol=0.05)
+
+
+def test_fused_conv_layer_grads():
+    from gamd_tpu.ops.pallas_mp import (_conv_layer_reference,
+                                        fused_conv_layer)
+    rng = np.random.RandomState(11)
+    n, k, dim = 8, 4, 128
+    e = jnp.asarray(rng.randn(n, k, dim).astype(np.float32) * 0.3)
+    idx = jnp.asarray(rng.randint(0, n, (n, k)).astype(np.int32))
+    mask = jnp.asarray(rng.rand(n, k) > 0.2)
+    h = jnp.asarray(rng.randn(n, dim).astype(np.float32) * 0.3)
+    hn = jnp.asarray(rng.randn(n, dim).astype(np.float32) * 0.3)
+    src_nodes = jnp.asarray(rng.randn(n, dim).astype(np.float32) * 0.3)
+    dst_code = jnp.asarray(rng.randn(n, dim).astype(np.float32) * 0.3)
+    weights = tuple(
+        jnp.asarray(rng.randn(*s).astype(np.float32) * 0.08)
+        for s in [(dim, dim), (dim,)] * 7)
+
+    g_p = jax.grad(lambda w0: jnp.sum(fused_conv_layer(
+        e, idx, mask, h, hn, src_nodes, dst_code,
+        (w0,) + weights[1:], 8, True) ** 2))(weights[0])
+    g_r = jax.grad(lambda w0: jnp.sum(_conv_layer_reference(
+        e, idx, mask, h, hn, src_nodes, dst_code,
+        (w0,) + weights[1:]) ** 2))(weights[0])
+    np.testing.assert_allclose(np.asarray(g_p), np.asarray(g_r),
+                               rtol=3e-2, atol=3e-2)
