@@ -92,10 +92,10 @@ def _apply_model(model, params, batch_stats, inputs, train, rngs):
 
 
 def make_train_step(model, system: SystemConfig, train_cfg: TrainConfig,
-                    tx):
-    """Returns jitted train_step(state, batch) -> (state, metrics)."""
+                    tx, jit: bool = True):
+    """Returns train_step(state, batch) -> (state, metrics), jitted unless
+    jit=False (the epoch scanner embeds the un-jitted body)."""
 
-    @jax.jit
     def train_step(state: TrainState, batch):
         rng = jax.random.fold_in(state.rng, state.step)
         k_aug, k_jit, k_drop, k_edge = jax.random.split(rng, 4)
@@ -174,14 +174,74 @@ def make_train_step(model, system: SystemConfig, train_cfg: TrainConfig,
         }
         return new_state, metrics
 
-    return train_step
+    return jax.jit(train_step) if jit else train_step
 
 
-def make_eval_step(model, system: SystemConfig):
+def make_train_epoch(model, system: SystemConfig, train_cfg: TrainConfig,
+                     tx, n_frames: int):
+    """Whole-epoch device program: shuffle + scan over batches in ONE call.
+
+    On this environment's tunneled TPU every host->device dispatch costs
+    hundreds of ms, so a per-batch host loop would dominate wall time by
+    orders of magnitude. Here the packed dataset lives on device and the
+    epoch is a lax.scan over dynamic batch gathers — one dispatch per epoch.
+
+    Returns train_epoch(state, pos_all [M,N,3], force_all [M,N,3],
+    feat_all or None, epoch_rng) -> (state, mean_metrics).
+    """
+    step_fn = make_train_step(model, system, train_cfg, tx, jit=False)
+    b = train_cfg.batch_size
+    n_batches = n_frames // b
+
+    @jax.jit
+    def train_epoch(state: TrainState, pos_all, force_all, feat_all,
+                    epoch_rng):
+        perm = jax.random.permutation(epoch_rng, n_frames)
+        perm = perm[:n_batches * b].reshape(n_batches, b)
+
+        def body(st, batch_idx):
+            batch = {"pos": pos_all[batch_idx],
+                     "forces": force_all[batch_idx]}
+            if feat_all is not None:
+                batch["feat"] = feat_all[batch_idx]
+            st, metrics = step_fn(st, batch)
+            return st, metrics
+
+        state, metrics = jax.lax.scan(body, state, perm)
+        mean_metrics = jax.tree.map(lambda x: jnp.mean(x), metrics)
+        return state, mean_metrics
+
+    return train_epoch
+
+
+def make_eval_epoch(model, system: SystemConfig, batch_size: int,
+                    n_frames: int):
+    """Whole-validation-set device program (see make_train_epoch)."""
+    eval_fn = make_eval_step(model, system, jit=False)
+    n_batches = max(n_frames // batch_size, 1)
+
+    @jax.jit
+    def eval_epoch(state: TrainState, pos_all, force_all, feat_all):
+        idx = jnp.arange(n_batches * batch_size).reshape(n_batches,
+                                                         batch_size)
+
+        def body(_, batch_idx):
+            batch = {"pos": pos_all[batch_idx],
+                     "forces": force_all[batch_idx]}
+            if feat_all is not None:
+                batch["feat"] = feat_all[batch_idx]
+            return None, eval_fn(state, batch)
+
+        _, metrics = jax.lax.scan(body, None, idx)
+        return jax.tree.map(lambda x: jnp.mean(x), metrics)
+
+    return eval_epoch
+
+
+def make_eval_step(model, system: SystemConfig, jit: bool = True):
     """Validation metrics on normalized forces (reference:
     train_network_lj.py:284-315: val mse/mae + outlier ratio)."""
 
-    @jax.jit
     def eval_step(state: TrainState, batch):
         pos = batch["pos"]
         gt = batch["forces"]
@@ -207,7 +267,7 @@ def make_eval_step(model, system: SystemConfig):
         outlier = jnp.mean(ratio > 10.0)
         return {"val_mae": mae, "val_mse": mse, "val_outlier": outlier}
 
-    return eval_step
+    return jax.jit(eval_step) if jit else eval_step
 
 
 def train(system: SystemConfig, model_cfg: ModelConfig,
@@ -218,7 +278,8 @@ def train(system: SystemConfig, model_cfg: ModelConfig,
 
     If `mesh` is given, batches are sharded over its 'dp' axis (the batch
     size must be divisible by the axis size) and the same jitted step runs
-    SPMD across devices.
+    SPMD across devices. Otherwise, fixed-box datasets take the on-device
+    epoch-scan path (one dispatch per epoch; see make_train_epoch).
     """
     from gamd_tpu.train.data import batch_iterator
 
@@ -227,6 +288,10 @@ def train(system: SystemConfig, model_cfg: ModelConfig,
     tx = make_optimizer(train_cfg, steps_per_epoch)
     if state is None:
         state = create_train_state(model, system, train_cfg, steps_per_epoch)
+
+    if mesh is None and system.box is not None:
+        return _train_epoch_scan(model, system, train_cfg, tx, state,
+                                 train_data, val_data, ckpt_dir, log_fn)
 
     train_step = make_train_step(model, system, train_cfg, tx)
     eval_step = make_eval_step(model, system)
@@ -269,4 +334,55 @@ def train(system: SystemConfig, model_cfg: ModelConfig,
                             state)
             save_scaler(os.path.join(ckpt_dir, f"scaler_{epoch}.npz"), state)
 
+    return state
+
+
+def _stack_dataset(dataset):
+    """Materialize a fixed-N dataset into dense arrays (M small enough that
+    [M, N, 3] x2 comfortably fits HBM: 9000 LJ frames ~ 56 MB)."""
+    pos, forces, feats = [], [], []
+    for i in range(len(dataset)):
+        item = dataset[i]
+        pos.append(item["pos"])
+        forces.append(item["forces"])
+        if "feat" in item:
+            feats.append(item["feat"])
+    feat_all = jnp.asarray(np.stack(feats)) if feats else None
+    return jnp.asarray(np.stack(pos)), jnp.asarray(np.stack(forces)), feat_all
+
+
+def _train_epoch_scan(model, system, train_cfg, tx, state, train_data,
+                      val_data, ckpt_dir, log_fn):
+    """Epoch driver on the one-dispatch-per-epoch path."""
+    pos_tr, force_tr, feat_tr = _stack_dataset(train_data)
+    n_frames = pos_tr.shape[0]
+    train_epoch = make_train_epoch(model, system, train_cfg, tx, n_frames)
+
+    eval_epoch = None
+    if val_data is not None and len(val_data) >= train_cfg.batch_size:
+        pos_va, force_va, feat_va = _stack_dataset(val_data)
+        eval_epoch = make_eval_epoch(model, system, train_cfg.batch_size,
+                                     pos_va.shape[0])
+
+    rng = jax.random.PRNGKey(train_cfg.seed + 1)
+    for epoch in range(train_cfg.max_epoch):
+        rng, k_epoch = jax.random.split(rng)
+        state, metrics = train_epoch(state, pos_tr, force_tr, feat_tr,
+                                     k_epoch)
+        msg = {k: float(v) for k, v in metrics.items()}
+        log_fn(f"epoch {epoch}: " + ", ".join(
+            f"{k}={v:.6f}" for k, v in msg.items()))
+
+        if eval_epoch is not None:
+            vm = eval_epoch(state, pos_va, force_va, feat_va)
+            vm = {k: float(v) for k, v in vm.items()}
+            log_fn(f"epoch {epoch} val: " + ", ".join(
+                f"{k}={v:.6f}" for k, v in vm.items()))
+
+        if ckpt_dir and (epoch % train_cfg.checkpoint_every == 0
+                         or epoch == train_cfg.max_epoch - 1):
+            os.makedirs(ckpt_dir, exist_ok=True)
+            save_checkpoint(
+                os.path.join(ckpt_dir, f"checkpoint_{epoch}.msgpack"), state)
+            save_scaler(os.path.join(ckpt_dir, f"scaler_{epoch}.npz"), state)
     return state

@@ -48,6 +48,8 @@ def main():
                         help="frames per seed in the dataset")
     parser.add_argument("--seed_num", default=10, type=int,
                         help="number of generation seeds in the dataset")
+    parser.add_argument("--no_pack", action="store_true",
+                        help="disable the packed-dataset cache")
     parser.add_argument("--loss", default="mae", choices=["mae", "mse"])
     parser.add_argument("--num_device", default=-1, type=int,
                         help="devices for data parallelism (-1 = all)")
@@ -96,12 +98,19 @@ def main():
         path = (args.data_dir if os.path.basename(args.data_dir) == sub
                 else os.path.join(args.data_dir, sub))
         data_type = args.system if args.system != "lj" else "lj"
+        # Pack the thousands of per-frame npz files once (native C++ packer
+        # when available) so epochs iterate from one in-memory array.
+        cache = None
+        if not args.no_pack:
+            cache = os.path.join(path, "_packed_cache.npz")
         train_data = TrajectoryDataset(path, mode="train", data_type=data_type,
                                        sample_num=args.sample_num,
-                                       seed_num=args.seed_num)
+                                       seed_num=args.seed_num,
+                                       pack_cache=cache)
         val_data = TrajectoryDataset(path, mode="test", data_type=data_type,
                                      sample_num=args.sample_num,
-                                     seed_num=args.seed_num)
+                                     seed_num=args.seed_num,
+                                     pack_cache=cache)
 
     n_dev = len(jax.devices()) if args.num_device == -1 else args.num_device
     mesh = make_mesh(n_dev) if (n_dev > 1
