@@ -31,6 +31,8 @@ def main():
     parser.add_argument("--hidden_dim", default=128, type=int)
     parser.add_argument("--edge_embedding_dim", default=128, type=int)
     parser.add_argument("--conv_layer", default=4, type=int)
+    parser.add_argument("--use_pallas", action="store_true",
+                        help="fused Pallas kernels for the force model")
     parser.add_argument("--max_frames", default=None, type=int)
     parser.add_argument("--sample_num", default=1000, type=int)
     parser.add_argument("--seed_num", default=10, type=int)
@@ -51,7 +53,7 @@ def main():
         encoding_size=args.encoding_size, hidden_dim=args.hidden_dim,
         edge_embedding_dim=args.edge_embedding_dim,
         conv_layers=args.conv_layer, use_layer_norm=True,
-        flip_dir=(args.system == "dft"))
+        flip_dir=(args.system == "dft"), use_pallas=args.use_pallas)
 
     model = build_model(model_cfg, system)
     state = create_train_state(model, system, TrainConfig(), 1)

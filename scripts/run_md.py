@@ -41,6 +41,8 @@ def main():
     parser.add_argument("--hidden_dim", default=128, type=int)
     parser.add_argument("--edge_embedding_dim", default=128, type=int)
     parser.add_argument("--conv_layer", default=4, type=int)
+    parser.add_argument("--use_pallas", action="store_true",
+                        help="fused Pallas kernels for the force model")
     parser.add_argument("--seed", default=0, type=int)
     args = parser.parse_args()
 
@@ -62,7 +64,8 @@ def main():
     model_cfg = ModelConfig(
         encoding_size=args.encoding_size, hidden_dim=args.hidden_dim,
         edge_embedding_dim=args.edge_embedding_dim,
-        conv_layers=args.conv_layer, use_layer_norm=True)
+        conv_layers=args.conv_layer, use_layer_norm=True,
+        use_pallas=args.use_pallas)
 
     model = build_model(model_cfg, system)
     state = create_train_state(model, system, TrainConfig(), 1)
