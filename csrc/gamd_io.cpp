@@ -53,7 +53,9 @@ Array parse_npy(const uint8_t* p, size_t n) {
   bool f8 = hdr.find("'<f8'") != std::string::npos;
   bool f4 = hdr.find("'<f4'") != std::string::npos;
   if (!f4 && !f8) return out;
-  if (hdr.find("'fortran_order': True") != std::string::npos) return out;
+  // jax->numpy arrays are often column-major; np.savez records
+  // fortran_order: True and stores the payload transposed.
+  bool fortran = hdr.find("'fortran_order': True") != std::string::npos;
 
   size_t sp = hdr.find("'shape':");
   if (sp == std::string::npos) return out;
@@ -80,6 +82,17 @@ Array parse_npy(const uint8_t* p, size_t n) {
   } else {
     const double* src = reinterpret_cast<const double*>(payload);
     for (int64_t i = 0; i < total; i++) out.data[i] = float(src[i]);
+  }
+  if (fortran && out.shape.size() == 2) {
+    // Transpose column-major [R, C] payload into C order.
+    int64_t r_dim = out.shape[0], c_dim = out.shape[1];
+    std::vector<float> c_order(total);
+    for (int64_t r = 0; r < r_dim; r++)
+      for (int64_t c = 0; c < c_dim; c++)
+        c_order[r * c_dim + c] = out.data[c * r_dim + r];
+    out.data.swap(c_order);
+  } else if (fortran && out.shape.size() > 2) {
+    return out;  // unsupported; stays !ok
   }
   out.ok = true;
   return out;

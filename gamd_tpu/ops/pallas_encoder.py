@@ -29,7 +29,11 @@ from jax.experimental.pallas import tpu as pltpu
 
 
 def _gelu_exact(x):
-    return 0.5 * x * (1.0 + jax.lax.erf(x / np.sqrt(2.0).astype(np.float32)))
+    """tanh-approximation gelu: Mosaic has no erf lowering, and the approx
+    error (~1e-3) is below the kernel's bf16 noise floor. The XLA path keeps
+    exact-erf gelu."""
+    c = np.float32(np.sqrt(2.0 / np.pi))
+    return 0.5 * x * (1.0 + jnp.tanh(c * (x + 0.044715 * x * x * x)))
 
 
 def _round_up(x, m):

@@ -67,9 +67,11 @@ def generate_lj_dataset(out_dir, seeds=10, frames_per_seed=1000,
 
         state = sim.init_state(pos, rng=jax.random.PRNGKey(1000 + seed))
         for t in range(frames_per_seed):
-            p = np.asarray(space.wrap(state.pos, box), np.float32)
-            f = np.asarray(dense_force(jnp.asarray(p)), np.float32)
-            v = np.asarray(state.vel, np.float32)
+            p = np.ascontiguousarray(
+                np.asarray(space.wrap(state.pos, box), np.float32))
+            f = np.ascontiguousarray(
+                np.asarray(dense_force(jnp.asarray(p)), np.float32))
+            v = np.ascontiguousarray(np.asarray(state.vel, np.float32))
             np.savez(os.path.join(out_dir, f"data_{seed}_{t}.npz"),
                      pos=p,
                      vel=v / units.M_PER_S_TO_INTERNAL,
@@ -116,9 +118,11 @@ def generate_water_dataset(out_dir, seeds=10, frames_per_seed=1000,
                                n_steps=minimize_steps, max_step=0.05)
         state = sim.init_state(pos, rng=jax.random.PRNGKey(2000 + seed))
         for t in range(frames_per_seed):
-            p = np.asarray(space.wrap(state.pos, box), np.float32)
-            f = np.asarray(dense_force(jnp.asarray(p)), np.float32)
-            v = np.asarray(state.vel, np.float32)
+            p = np.ascontiguousarray(
+                np.asarray(space.wrap(state.pos, box), np.float32))
+            f = np.ascontiguousarray(
+                np.asarray(dense_force(jnp.asarray(p)), np.float32))
+            v = np.ascontiguousarray(np.asarray(state.vel, np.float32))
             np.savez(os.path.join(out_dir, f"data_{seed}_{t}.npz"),
                      pos=p,
                      vel=v / units.M_PER_S_TO_INTERNAL,
@@ -164,9 +168,11 @@ def generate_tip4p_dataset(out_dir, seeds=10, frames_per_seed=1000,
                                n_steps=minimize_steps, max_step=0.05)
         state = sim.init_state(pos, rng=jax.random.PRNGKey(3000 + seed))
         for t in range(frames_per_seed):
-            p = np.asarray(space.wrap(state.pos, box), np.float32)
-            f = np.asarray(dense_force(jnp.asarray(p)), np.float32)
-            v = np.asarray(state.vel, np.float32)
+            p = np.ascontiguousarray(
+                np.asarray(space.wrap(state.pos, box), np.float32))
+            f = np.ascontiguousarray(
+                np.asarray(dense_force(jnp.asarray(p)), np.float32))
+            v = np.ascontiguousarray(np.asarray(state.vel, np.float32))
             pos4, f4 = w.expand_with_m_sites(
                 p, f / units.KJ_MOL_NM_TO_INTERNAL, box, params)
             vel4, _ = w.expand_with_m_sites(
