@@ -73,3 +73,42 @@ class GNNForceField:
             pos, box, self.system.cutoff, self.system.nbr_capacity)
         pred = self._forward(pos, idx, mask, box)
         return denormalize(pred, self.force_stat)
+
+    def predict_batch(self, pos_all, batch_size: int = 16):
+        """Predict forces for a whole trajectory in ONE device dispatch
+        (lax.scan over batches; essential on high-latency device links).
+
+        Args:
+            pos_all: [M, N, 3] frames (fixed box).
+        Returns:
+            [M, N, 3] forces in dataset units.
+        """
+        if self.system.box is None:
+            raise ValueError("predict_batch requires a fixed box")
+        pos_all = jnp.asarray(pos_all, jnp.float32)
+        m = pos_all.shape[0]
+        n_batches = -(-m // batch_size)
+        pad = n_batches * batch_size - m
+        pos_pad = jnp.concatenate(
+            [pos_all, jnp.repeat(pos_all[-1:], pad, axis=0)], axis=0) \
+            if pad else pos_all
+
+        box = self.system.box
+
+        def one_frame(pos):
+            posw = jnp.mod(pos, box)
+            idx, mask, _ = dense_neighbor_list(
+                posw, box, self.system.cutoff, self.system.nbr_capacity)
+            return denormalize(self._forward(posw, idx, mask, box),
+                               self.force_stat)
+
+        @jax.jit
+        def run(frames):
+            batches = frames.reshape(n_batches, batch_size,
+                                     *frames.shape[1:])
+            def body(_, batch):
+                return None, jax.vmap(one_frame)(batch)
+            _, preds = jax.lax.scan(body, None, batches)
+            return preds.reshape(-1, *frames.shape[1:])
+
+        return run(pos_pad)[:m]

@@ -72,15 +72,16 @@ def main():
         to_ev_a = units.KJ_MOL_NM_TO_EV_A
 
     n = len(ds) if args.max_frames is None else min(len(ds), args.max_frames)
-    preds, gts = [], []
-    for i in range(n):
-        item = ds[i]
-        box = item.get("box_size")
-        pred = np.asarray(ff.predict(item["pos"], box=box))
-        preds.append(pred)
-        gts.append(item["forces"])
-    pred = np.stack(preds) * to_ev_a
-    gt = np.stack(gts) * to_ev_a
+    items = [ds[i] for i in range(n)]
+    gt = np.stack([it["forces"] for it in items]) * to_ev_a
+    if args.system == "dft":
+        # per-sample boxes -> per-frame prediction
+        preds = [np.asarray(ff.predict(it["pos"], box=it.get("box_size")))
+                 for it in items]
+        pred = np.stack(preds) * to_ev_a
+    else:
+        pos_all = np.stack([it["pos"] for it in items])
+        pred = np.asarray(ff.predict_batch(pos_all)) * to_ev_a
 
     flat_p = pred.reshape(-1, 3)
     flat_g = gt.reshape(-1, 3)

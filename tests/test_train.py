@@ -324,3 +324,15 @@ def test_train_step_dynamic_box_dft_variant():
     state, metrics2 = step(state, batch)
     assert np.isfinite(float(metrics2["loss"]))
     assert int(state.step) == 2
+
+
+def test_predict_batch_matches_single():
+    system, frames = make_lj_frames(n_frames=5)
+    cfg = TrainConfig(max_epoch=1, batch_size=2, rotate_aug=False)
+    model = build_model(TINY, system)
+    state = create_train_state(model, system, cfg, 1)
+    ff = GNNForceField(state, system, TINY)
+    pos_all = np.stack([f["pos"] for f in frames])
+    batch_pred = np.asarray(ff.predict_batch(pos_all, batch_size=2))
+    single = np.stack([np.asarray(ff.predict(f["pos"])) for f in frames])
+    np.testing.assert_allclose(batch_pred, single, rtol=1e-4, atol=1e-4)
