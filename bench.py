@@ -32,9 +32,10 @@ def main():
     # cutoff + 0.5 A skin with K=64 (thermal drift over a 20-step reuse
     # window is ~0.06 A, and overflow is still detected and reported).
     system = get_preset("lj", skin=0.5, nbr_capacity=64)
-    # fp32 XLA path: bf16 measured SLOWER here (layernorm/convert round
-    # trips dominate at these sizes); precision lives in the Pallas kernel.
-    model_cfg = lj_model_config(use_pallas=True)
+    # Pallas conv kernel (in-kernel one-hot gathers, bf16 MXU matmuls with
+    # fp32 accumulation) + fused feature/encoder kernel. The XLA fallback
+    # runs everything fp32 (a flax-level bf16 policy measured slower).
+    model_cfg = lj_model_config(use_pallas=True, use_pallas_encoder=True)
     # Architecture-only benchmark: untrained weights, real compute graph.
     state = create_train_state(
         build_model(model_cfg, system), system, TrainConfig(), 1,
@@ -49,20 +50,21 @@ def main():
     box, pos0 = lj.lj_fluid_box(system.n_atoms, 0.5)
     st = sim.init_state(jnp.asarray(pos0), rng=jax.random.PRNGKey(1))
 
-    n_steps = 2000
+    n_steps = 4000
     # Warmup: compile + one run.
     result = sim.run(st, n_steps)
     jax.block_until_ready(result.state.pos)
     assert not bool(result.overflow), "neighbor capacity overflow in bench"
     assert bool(jnp.isfinite(result.state.pos).all())
 
-    reps = 3
-    t0 = time.perf_counter()
-    for _ in range(reps):
+    times = []
+    for _ in range(5):
+        t0 = time.perf_counter()
         result = sim.run(st, n_steps)
         jax.block_until_ready(result.state.pos)
-    dt = (time.perf_counter() - t0) / reps
-    steps_per_s = n_steps / dt
+        times.append(time.perf_counter() - t0)
+    times.sort()
+    steps_per_s = n_steps / times[len(times) // 2]   # median rep
 
     print(json.dumps({
         "metric": "fused GNN-MD steps/s (258-atom LJ, GAMD-small + BAOAB)",

@@ -113,6 +113,9 @@ class ModelConfig:
     mlp_activation: str = "gelu"
     use_pallas: bool = False        # fused Pallas kernel for the conv-layer
                                     # edge pipeline (ops.pallas_mp)
+    use_pallas_encoder: bool = False  # fused feature+encoder kernel
+                                      # (measured ~even with XLA at N=258;
+                                      # off by default, see ops/pallas_encoder)
     compute_dtype: str = "float32"  # 'bfloat16' runs matmuls on the MXU in
                                     # bf16 with fp32 params/accumulation —
                                     # the TPU-native replacement for the

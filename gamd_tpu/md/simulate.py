@@ -183,6 +183,31 @@ class Simulation:
             self._run_cache[key] = self._make_run(n_steps)
         return self._run_cache[key](state)
 
+    def run_segmented(self, state, n_steps: int, segment: int = 10000):
+        """Advance n_steps in host-level segments (a few dispatches).
+
+        Very long single programs (>~20k steps) have tripped device-side
+        faults on the tunneled TPU; segmenting bounds program runtime while
+        keeping per-step cost identical. Thermo/positions are concatenated.
+        """
+        results = []
+        done = 0
+        while done < n_steps:
+            chunk = min(segment, n_steps - done)
+            result = self.run(state, chunk)
+            state = result.state
+            results.append(result)
+            done += chunk
+        thermo = Thermo(
+            kinetic_energy=jnp.concatenate(
+                [r.thermo.kinetic_energy for r in results]),
+            temperature=jnp.concatenate(
+                [r.thermo.temperature for r in results]))
+        positions = jnp.concatenate([r.positions for r in results])
+        overflow = jnp.any(jnp.stack([r.overflow for r in results]))
+        return RunResult(state=state, thermo=thermo, overflow=overflow,
+                         positions=positions)
+
     # -- independent replicas (vmapped) ---------------------------------
 
     def init_replicas(self, pos, n_replicas: int, rng=None):

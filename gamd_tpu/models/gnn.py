@@ -166,14 +166,18 @@ class EdgeGatedConv(nn.Module):
 
         new_e = None
         if self.use_pallas and not self.update_edge_emb:
-            from gamd_tpu.ops.pallas_mp import fused_conv_layer
-            weights = (w_e1, b_e1, w_e2, b_e2, w_t1, b_t1, w_t2, b_t2,
-                       w_pd, b_pd, w_pe, b_pe, w_p, b_p)
-            h_new = jax.vmap(
-                lambda eb, ib, mk, hb, hnb, sb, db: fused_conv_layer(
-                    eb, ib, mk, hb, hnb, sb, db, weights)
-            )(e, idx, agg_mask, h_raw, hn, src_nodes, dst_code)
-            return h_new, None
+            # Kernel 4 (edge pipeline + in-kernel one-hot gathers); the node
+            # update stays in XLA — folding it into the kernel
+            # (fused_conv_layer) measured SLOWER (68 vs 28 us/layer: the
+            # tiny per-tile phi matmuls stall the MXU pipeline).
+            from gamd_tpu.ops.pallas_mp import fused_conv_gather_message
+            agg = jax.vmap(
+                lambda eb, ib, mk, hnb, sb, db: fused_conv_gather_message(
+                    eb, ib, mk, hnb, sb, db, w_e1, b_e1, w_e2, b_e2,
+                    w_t1, b_t1, w_t2, b_t2)
+            )(e, idx, agg_mask, hn, src_nodes, dst_code)
+            delta = act(hn @ w_pd + b_pd + agg @ w_pe + b_pe) @ w_p + b_p
+            return h_raw + delta, None
 
         cd = (lambda x: x) if self.dtype is None else (
             lambda x: x.astype(self.dtype))
@@ -286,7 +290,8 @@ class GAMDNet(nn.Module):
                              (cfg.edge_embedding_dim,))
         act = get_activation(cfg.mlp_activation)
 
-        pallas_encoder_ok = (cfg.use_pallas and not train
+        pallas_encoder_ok = (cfg.use_pallas and cfg.use_pallas_encoder
+                             and not train
                              and not self.use_bond and cfg.expand_edge
                              and jnp.ndim(box) == 0)
         if pallas_encoder_ok:

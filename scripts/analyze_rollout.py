@@ -87,7 +87,7 @@ def main():
     sim = Simulation(ff.force_fn(), system, md)
     st = sim.init_state(jnp.asarray(gt_frames[-1]),
                         rng=jax.random.PRNGKey(0))
-    result = sim.run(st, args.steps)
+    result = sim.run_segmented(st, args.steps)
     jax.block_until_ready(result.state.pos)
     if bool(result.overflow):
         print("WARNING: neighbor overflow during rollout")

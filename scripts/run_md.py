@@ -99,7 +99,7 @@ def main():
     print(f"Simulating {system.n_atoms} atoms, {args.steps} steps "
           f"({args.integrator}, T={md.temperature} K)")
     t0 = time.perf_counter()
-    result = sim.run(st, args.steps)
+    result = sim.run_segmented(st, args.steps)
     jax.block_until_ready(result.state.pos)
     wall = time.perf_counter() - t0
     print(f"{args.steps} steps in {wall:.2f} s "

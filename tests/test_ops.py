@@ -147,17 +147,17 @@ def test_gamdnet_pallas_flag_matches_xla():
                         edge_embedding_dim=128, conv_layers=2)
     cfg_p = ModelConfig(encoding_size=128, hidden_dim=128,
                         edge_embedding_dim=128, conv_layers=2,
-                        use_pallas=True)
+                        use_pallas=True, use_pallas_encoder=True)
     m_x = GAMDNet(cfg=cfg_x, species="lj")
     m_p = GAMDNet(cfg=cfg_p, species="lj")
     params = m_x.init(jax.random.PRNGKey(0), pos, idx, mask, box, 0.0, 1.0)
     out_x = m_x.apply(params, pos, idx, mask, box, 0.0, 1.0)
 
     import gamd_tpu.ops.pallas_encoder as pe
-    orig = pm._conv_layer_forward
+    orig = pm._conv_msg_gather_forward
     orig_enc = pe.fused_edge_encoder
     with mock.patch.object(
-            pm, "_conv_layer_forward",
+            pm, "_conv_msg_gather_forward",
             lambda *a: orig(*a[:-1], True)), \
          mock.patch.object(
             pe, "fused_edge_encoder",

@@ -160,3 +160,14 @@ def test_replica_batched_simulation():
     # Replicas diverge (independent noise streams).
     p = np.asarray(result.state.pos)
     assert np.abs(p[0] - p[1]).max() > 1e-4
+
+
+def test_run_segmented_matches_thermo_shape():
+    system, params, pos = small_lj_system(n=32)
+    md = MDConfig(integrator="langevin", temperature=100.0, rebuild_every=5)
+    sim = Simulation(lj.lj_force_fn(system.box, params), system, md)
+    st = sim.init_state(jnp.asarray(pos), rng=jax.random.PRNGKey(8))
+    res = sim.run_segmented(st, 75, segment=30)
+    assert res.thermo.temperature.shape == (75,)
+    assert res.positions.shape[0] == 15   # 75/5 chunks
+    assert np.all(np.isfinite(np.asarray(res.state.pos)))
