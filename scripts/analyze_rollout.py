@@ -67,10 +67,22 @@ def main():
     state = load_checkpoint(args.ckpt, state)
     ff = GNNForceField(state, system, model_cfg)
 
-    # Ground-truth frames.
+    # Ground-truth frames: sample evenly across seeds and (equilibrated)
+    # times — naive sorted()[:N] would take only seed 0's earliest frames,
+    # which are pre-equilibration and decorrelate the RDF comparison.
     files = sorted(glob.glob(os.path.join(args.data_dir, "data_*.npz")))
     if not files:
         raise SystemExit(f"no frames in {args.data_dir}")
+
+    def frame_t(path):
+        stem = os.path.basename(path)[:-4]          # data_{seed}_{t}
+        return int(stem.split("_")[2])
+
+    equilibrated = [f for f in files if frame_t(f) >= 200] or files
+    sel = np.round(np.linspace(0, len(equilibrated) - 1,
+                               min(args.max_gt_frames,
+                                   len(equilibrated)))).astype(int)
+    files = [equilibrated[i] for i in sel]
     gt_frames = []
     for f in files[:args.max_gt_frames]:
         with np.load(f) as z:
