@@ -1,22 +1,24 @@
-"""Pallas TPU kernels for the message-passing hot path.
+"""Pallas TPU kernels for the message-passing hot path (the DGL-gspmm
+replacement), in increasing order of fusion:
 
-Two kernels:
+  1. pallas_gather_multiply_aggregate — gather h[idx] * gate, masked K-sum,
+     gather as dynamic VMEM row reads (didactic baseline; slow).
+  2. fused_edge_mlp_aggregate — theta_edge MLP + gate + masked K-reduction.
+  3. fused_conv_message — the whole edge pipeline (edge_affine MLP +
+     src/dst codes + theta_edge + gate + reduce) with pre-gathered inputs.
+  4. fused_conv_gather_message — #3 plus IN-KERNEL one-hot MXU gathers
+     (hi/lo bf16 split keeps row selection fp32-exact). THE PRODUCTION
+     KERNEL: device traces showed XLA row gathers (~35 us each at
+     [258,64,128]) dominate the MD step; one-hot matmuls cost ~2 us.
+  5. fused_conv_layer — #4 plus the node update and residual. Measured
+     SLOWER at N=258 (tiny per-tile phi matmuls stall the MXU pipeline);
+     retained for tile-size tuning and large-N experiments.
 
-  * pallas_gather_multiply_aggregate — the DGL-gspmm replacement
-    (gather h[idx] * gate, masked sum over K) with the gather expressed as
-    a node-tile loop of dynamic VMEM row reads.
-
-  * fused_edge_mlp_aggregate — the full per-layer edge pipeline
-    theta_edge MLP (silu -> W1 -> silu -> W2) fused with the message
-    multiply and the masked K-reduction. The [N, K, H] and [N, K, D]
-    intermediates never touch HBM: each node tile streams
-    edge_pre -> MXU matmuls -> multiply -> reduce entirely in VMEM. This is
-    the kernel that matters at large N, where those intermediates are
-    hundreds of MB of HBM traffic per conv layer.
-
-Both have jax.custom_vjp wrappers whose backward recomputes through the
-plain-XLA reference implementation, so training works unchanged while the
-forward (the MD hot loop) takes the fused path.
+All matmuls run bf16 on the MXU with fp32 accumulation; casts live in VMEM
+(a flax-level bf16 policy measured slower than fp32 — HBM convert round
+trips). Every kernel has a jax.custom_vjp wrapper whose backward recomputes
+through the plain-XLA reference implementation, so training works unchanged
+while the forward (the MD hot loop) takes the fused path.
 
 Layout notes (see /opt/skills/guides/pallas_guide.md): last dim 128-aligned
 (D = H = 128 for GAMD configs), node tiles sized so TILE_N*K is a multiple
