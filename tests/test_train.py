@@ -336,3 +336,42 @@ def test_predict_batch_matches_single():
     batch_pred = np.asarray(ff.predict_batch(pos_all, batch_size=2))
     single = np.stack([np.asarray(ff.predict(f["pos"])) for f in frames])
     np.testing.assert_allclose(batch_pred, single, rtol=1e-4, atol=1e-4)
+
+
+def test_load_reference_style_scaler(tmp_path):
+    """Read a scaler.npz with only the reference's mean/var keys
+    (reference shipped values: LJ var ~1010 (kJ/mol/nm)^2)."""
+    from gamd_tpu.train.checkpoint import load_scaler
+    p = tmp_path / "scaler.npz"
+    np.savez(p, mean=np.array([0.123]), var=np.array([1010.0]))
+    force, length = load_scaler(str(p))
+    assert float(force.safe_mean) == pytest.approx(0.123)
+    assert float(force.var) == pytest.approx(1010.0)
+    assert float(force.std) == pytest.approx(np.sqrt(1010.0), rel=1e-5)
+    # length falls back to identity
+    assert float(length.std) == pytest.approx(1.0)
+
+
+def test_water_train_step_with_bond_channel():
+    """TIP3P-style training step: one-hot node feats + O-H bond channel."""
+    rng = np.random.RandomState(6)
+    n = 12  # 4 molecules
+    system = SystemConfig(
+        name="tiny-water", n_atoms=n, box=8.0, cutoff=3.0, nbr_capacity=n,
+        skin=0.5, species="water", has_bonds=True,
+        masses=(15.9994, 1.008, 1.008), temperature=300.0)
+    cfg = TrainConfig(max_epoch=1, batch_size=2, rotate_aug=True)
+    model = build_model(TINY, system)
+    assert model.use_bond
+    tx = make_optimizer(cfg, 1)
+    state = create_train_state(model, system, cfg, 1)
+    step = make_train_step(model, system, cfg, tx)
+    feat = np.tile((np.arange(n) % 3 == 0).astype(np.float32).reshape(
+        1, n, 1), (2, 1, 1))
+    batch = {
+        "pos": jnp.asarray(rng.uniform(0, 8, (2, n, 3)).astype(np.float32)),
+        "forces": jnp.asarray(rng.randn(2, n, 3).astype(np.float32)),
+        "feat": jnp.asarray(feat),
+    }
+    state, metrics = step(state, batch)
+    assert np.isfinite(float(metrics["loss"]))
