@@ -41,6 +41,10 @@ def main():
     parser.add_argument("--conv_layer", default=4, type=int)
     parser.add_argument("--use_pallas", action="store_true",
                         help="fused Pallas kernels for the force model")
+    parser.add_argument("--classical_baseline", action="store_true",
+                        help="also run a classical-LJ rollout of the same "
+                             "length from the same start (apples-to-apples "
+                             "RDF oracle with identical sampling)")
     parser.add_argument("--json_out", default=None)
     args = parser.parse_args()
 
@@ -116,8 +120,26 @@ def main():
                                    species_a=species, species_b=species)
     _, g_gt = radial_distribution(gt_frames, system.box, n_bins=args.n_bins,
                                   species_a=species, species_b=species)
+    extra = {}
+    if args.classical_baseline and args.system == "lj":
+        from gamd_tpu.physics import lennard_jones as lj
+        sim_cl = Simulation(lj.lj_force_fn(system.box), system, md)
+        st_cl = sim_cl.init_state(jnp.asarray(gt_frames[-1]),
+                                  rng=jax.random.PRNGKey(1))
+        res_cl = sim_cl.run_segmented(st_cl, args.steps)
+        frames_cl = np.asarray(res_cl.positions)[n_equil:]
+        _, g_cl = radial_distribution(frames_cl, system.box,
+                                      n_bins=args.n_bins)
+        extra = {
+            "rdf_l2_vs_classical_rollout": rdf_l2(g_gnn, g_cl),
+            "rdf_peak_classical_rollout": float(g_cl.max()),
+            "classical_temperature_mean": float(np.asarray(
+                res_cl.thermo.temperature)[args.steps // 2:].mean()),
+        }
+
     temps = np.asarray(result.thermo.temperature)
     report = {
+        **extra,
         "rdf_l2": rdf_l2(g_gnn, g_gt),
         "rdf_peak_gnn": float(g_gnn.max()),
         "rdf_peak_gt": float(g_gt.max()),

@@ -171,3 +171,28 @@ def test_run_segmented_matches_thermo_shape():
     assert res.thermo.temperature.shape == (75,)
     assert res.positions.shape[0] == 15   # 75/5 chunks
     assert np.all(np.isfinite(np.asarray(res.state.pos)))
+
+
+def test_simulation_cell_list_path():
+    """MD driver with the cell-list neighbor method matches dense forces."""
+    params = lj.LJParams(cutoff=3.0)
+    n = 200
+    box = 15.0
+    rng = np.random.RandomState(11)
+    pos = rng.uniform(0, box, size=(n, 3)).astype(np.float32)
+    system = SystemConfig(
+        name="cell-lj", n_atoms=n, box=box, cutoff=3.0, nbr_capacity=48,
+        skin=0.6, species="lj", masses=(lj.ARGON_MASS,), temperature=100.0)
+    md = MDConfig(integrator="nve", dt_fs=1.0, rebuild_every=5)
+    sim_cell = Simulation(lj.lj_force_fn(box, params), system, md,
+                          nbr_method="cell")
+    sim_dense = Simulation(lj.lj_force_fn(box, params), system, md,
+                           nbr_method="dense")
+    st_c = sim_cell.init_state(jnp.asarray(pos), rng=jax.random.PRNGKey(0))
+    st_d = sim_dense.init_state(jnp.asarray(pos), rng=jax.random.PRNGKey(0))
+    np.testing.assert_allclose(np.asarray(st_c.force), np.asarray(st_d.force),
+                               rtol=1e-4, atol=1e-4)
+    rc = sim_cell.run(st_c, 20)
+    rd = sim_dense.run(st_d, 20)
+    np.testing.assert_allclose(np.asarray(rc.state.pos),
+                               np.asarray(rd.state.pos), rtol=1e-4, atol=1e-3)

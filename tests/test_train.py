@@ -375,3 +375,39 @@ def test_water_train_step_with_bond_channel():
     }
     state, metrics = step(state, batch)
     assert np.isfinite(float(metrics["loss"]))
+
+
+def test_epoch_scan_with_drop_edge_and_dropout():
+    """On-device epoch path with stochastic regularizers enabled."""
+    from gamd_tpu.train.loop import make_train_epoch
+    system, frames = make_lj_frames(n_frames=8)
+    cfg_m = ModelConfig(encoding_size=16, hidden_dim=16,
+                        edge_embedding_dim=16, conv_layers=2, drop_edge=True,
+                        dropout=0.1)
+    cfg_t = TrainConfig(max_epoch=1, batch_size=4)
+    model = build_model(cfg_m, system)
+    tx = make_optimizer(cfg_t, 2)
+    state = create_train_state(model, system, cfg_t, 2)
+    epoch_fn = make_train_epoch(model, system, cfg_t, tx, n_frames=8)
+    pos = jnp.asarray(np.stack([f["pos"] for f in frames]))
+    forces = jnp.asarray(np.stack([f["forces"] for f in frames]))
+    state, metrics = epoch_fn(state, pos, forces, None, jax.random.PRNGKey(0))
+    assert np.isfinite(float(metrics["loss"]))
+    assert int(state.step) == 2
+
+
+def test_train_step_update_edge_path():
+    """update_edge (per-layer edge-embedding refresh w/ LayerNorm)."""
+    system, frames = make_lj_frames(n_frames=2)
+    cfg_m = ModelConfig(encoding_size=16, hidden_dim=16,
+                        edge_embedding_dim=16, conv_layers=2,
+                        update_edge=True)
+    cfg_t = TrainConfig(max_epoch=1, batch_size=2, rotate_aug=False)
+    model = build_model(cfg_m, system)
+    tx = make_optimizer(cfg_t, 1)
+    state = create_train_state(model, system, cfg_t, 1)
+    step = make_train_step(model, system, cfg_t, tx)
+    batch = {k: jnp.asarray(np.stack([f[k] for f in frames]))
+             for k in ("pos", "forces")}
+    state, metrics = step(state, batch)
+    assert np.isfinite(float(metrics["loss"]))
