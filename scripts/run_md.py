@@ -83,7 +83,13 @@ def main():
         pos, _ = fire_minimize(force, jnp.asarray(pos), n_steps=1000)
         pos = np.asarray(pos)
     else:
-        raise SystemExit("water systems need --init_pos")
+        from gamd_tpu.physics import water as w
+        pos = w.water_box(system.n_atoms // 3, system.box, seed=args.seed)
+        params_w = w.TIP3PParams(cutoff=min(9.0, system.box / 2 - 0.01))
+        force = lambda p: w.tip3p_forces(p, system.box, params_w)
+        pos, _ = fire_minimize(force, jnp.asarray(pos), n_steps=1500,
+                               max_step=0.05)
+        pos = np.asarray(pos)
 
     md = MDConfig(
         integrator=args.integrator, n_steps=args.steps,
