@@ -196,3 +196,35 @@ def test_simulation_cell_list_path():
     rd = sim_dense.run(st_d, 20)
     np.testing.assert_allclose(np.asarray(rc.state.pos),
                                np.asarray(rd.state.pos), rtol=1e-4, atol=1e-3)
+
+
+def test_reporter_with_potential_energy(tmp_path):
+    from gamd_tpu.md.simulate import Thermo
+    ke = jnp.arange(1.0, 41.0)
+    thermo = Thermo(kinetic_energy=ke, temperature=2 * ke)
+    pe = -3 * np.arange(1.0, 41.0)
+    path = tmp_path / "log_pe.txt"
+    rep = StateReporter(str(path), report_interval=10, dt_fs=2.0,
+                        potential_energy=True)
+    n = rep.write(thermo, potential=pe)
+    assert n == 4
+    lines = path.read_text().strip().split("\n")
+    assert "Potential Energy" in lines[0]
+    cols = lines[1].split("\t")
+    assert float(cols[2]) == pytest.approx(-30.0)   # PE at step 10
+    assert float(cols[3]) == pytest.approx(10.0)    # KE
+
+
+def test_timer_blocks():
+    from gamd_tpu.utils import Timer
+    t = Timer()
+    x = jnp.ones((128, 128)) @ jnp.ones((128, 128))
+    dt = t.stop(x)
+    assert dt > 0
+
+
+def test_generation_rotation_matrix_orthogonal():
+    from gamd_tpu.physics.generate import random_rotation_matrix
+    r = random_rotation_matrix(np.random.RandomState(3))
+    np.testing.assert_allclose(r @ r.T, np.eye(3), atol=1e-5)
+    assert np.linalg.det(r) == pytest.approx(1.0, abs=1e-5)
