@@ -192,12 +192,14 @@ PRESETS = {
     ),
     # TIP3P water: 258 molecules = 774 atoms, box 20 A, cutoff 4.2 A
     # (reference: train_network_tip3p.py:24-30; generate_tip3p_data.py:55-78)
+    # K=96: liquid-density water has ~48 atoms inside cutoff+skin on
+    # average with peaks past 64 (measured overflow during generation).
     "tip3p": SystemConfig(
         name="tip3p",
         n_atoms=774,
         box=20.0,
         cutoff=4.2,
-        nbr_capacity=64,
+        nbr_capacity=96,
         skin=_WATER_SKIN,
         species="water",
         has_bonds=True,
@@ -214,7 +216,7 @@ PRESETS = {
         n_atoms=753,
         box=20.0,
         cutoff=4.2,
-        nbr_capacity=64,
+        nbr_capacity=96,
         skin=_WATER_SKIN,
         species="water",
         has_bonds=True,
