@@ -27,6 +27,9 @@ def main():
     parser.add_argument("--min_epoch", default=30, type=int)
     parser.add_argument("--max_epoch", default=30, type=int)
     parser.add_argument("--lr", default=3e-4, type=float)
+    parser.add_argument("--lr_decay", default=0.001, type=float,
+                        help="total LR decay over the run (StepLR gamma = "
+                             "decay**(5/epochs)); 1.0 = constant LR")
     parser.add_argument("--cp_dir", default="./model_ckpt")
     parser.add_argument("--state_ckpt_dir", default=None, type=str)
     parser.add_argument("--batch_size", default=1, type=int)
@@ -81,6 +84,7 @@ def main():
     # train_network_real_large.py:30 vs train_network_lj.py:35).
     train_cfg = TrainConfig(
         lr=args.lr, min_epoch=args.min_epoch, max_epoch=args.max_epoch,
+        lr_total_decay=args.lr_decay,
         batch_size=args.batch_size, loss=args.loss,
         lambda_net_force=0.5e-2 if args.system == "dft" else 1e-3,
         rotate_aug=args.rotate_aug,
