@@ -14,6 +14,16 @@ gamd_tpu.core.units. dt is in internal units (dt_fs * units.FS).
 Every factory returns (init_fn, step_fn):
     init_fn(pos, vel[, rng]) -> state        (evaluates the initial force)
     step_fn(state) -> state                  (one full MD step, jit/scan safe)
+
+Holonomic constraints (rigid water): every factory accepts an optional
+`constraint` object (gamd_tpu.md.constraints.RigidWater) providing
+positions(x_ref, x_new) and velocities(x, v) projections. The constrained
+step is the RATTLE-style splitting: drift -> position projection (velocity
+absorbs the correction) -> kick -> velocity projection — the native
+counterpart of the reference's constraint-applying dummy integrators
+(reference: /root/reference/code/water/hack_integrator.py:180-188, and the
+OpenMM context constraints they delegate to). BAOAB follows the g-BAOAB
+scheme (Leimkuhler & Matthews): projections after every A and O sub-step.
 """
 
 from typing import Callable, NamedTuple
@@ -76,19 +86,35 @@ def maxwell_boltzmann_velocities(rng, masses, temp_k):
 # Velocity Verlet (NVE)
 # --------------------------------------------------------------------------
 
-def velocity_verlet(force_fn: Callable, dt: float, masses):
+def _drift_project(constraint, x0, v, dt):
+    """Drift + SETTLE position projection; the velocity absorbs the
+    constraint correction ((x_c - x_free)/dt, the RATTLE convention)."""
+    x_free = x0 + dt * v
+    if constraint is None:
+        return x_free, v
+    x_c = constraint.positions(x0, x_free)
+    return x_c, v + (x_c - x_free) / dt
+
+
+def _project_vel(constraint, x, v):
+    return v if constraint is None else constraint.velocities(x, v)
+
+
+def velocity_verlet(force_fn: Callable, dt: float, masses, constraint=None):
     """Plain velocity Verlet; the reference reaches this as the chain_length=0
     degenerate case of its NHC integrator (hack_integrator.py:207)."""
     m = masses[:, None]
 
     def init_fn(pos, vel):
-        return NVEState(pos=pos, vel=vel, force=force_fn(pos))
+        return NVEState(pos=pos, vel=_project_vel(constraint, pos, vel),
+                        force=force_fn(pos))
 
     def step_fn(state: NVEState) -> NVEState:
         v = state.vel + 0.5 * dt * state.force / m
-        x = state.pos + dt * v
+        x, v = _drift_project(constraint, state.pos, v, dt)
         f = force_fn(x)
         v = v + 0.5 * dt * f / m
+        v = _project_vel(constraint, x, v)
         return NVEState(pos=x, vel=v, force=f)
 
     return init_fn, step_fn
@@ -99,7 +125,7 @@ def velocity_verlet(force_fn: Callable, dt: float, masses):
 # --------------------------------------------------------------------------
 
 def baoab_langevin(force_fn: Callable, dt: float, masses, temp_k: float,
-                   friction: float):
+                   friction: float, constraint=None):
     """BAOAB splitting of Langevin dynamics.
 
     Fuses the reference's HackLangevinIntegrator (B A O A,
@@ -117,7 +143,8 @@ def baoab_langevin(force_fn: Callable, dt: float, masses, temp_k: float,
     sigma = jnp.sqrt(units.KB * temp_k / masses)[:, None]
 
     def init_fn(pos, vel, rng):
-        return LangevinState(pos=pos, vel=vel, force=force_fn(pos), rng=rng)
+        return LangevinState(pos=pos, vel=_project_vel(constraint, pos, vel),
+                             force=force_fn(pos), rng=rng)
 
     def step_fn(state: LangevinState, noise=None) -> LangevinState:
         """One BAOAB step. `noise` [N, 3] may be pre-drawn (the fused driver
@@ -130,11 +157,14 @@ def baoab_langevin(force_fn: Callable, dt: float, masses, temp_k: float,
         else:
             rng, xi = state.rng, noise
         v = state.vel + 0.5 * dt * state.force / m              # B
-        x = state.pos + 0.5 * dt * v                            # A
+        v = _project_vel(constraint, state.pos, v)
+        x, v = _drift_project(constraint, state.pos, v, 0.5 * dt)  # A
         v = a * v + b * sigma * xi                              # O
-        x = x + 0.5 * dt * v                                    # A
+        v = _project_vel(constraint, x, v)
+        x, v = _drift_project(constraint, x, v, 0.5 * dt)       # A
         f = force_fn(x)
         v = v + 0.5 * dt * f / m                                # B
+        v = _project_vel(constraint, x, v)
         return LangevinState(pos=x, vel=v, force=f, rng=rng)
 
     return init_fn, step_fn
@@ -191,7 +221,7 @@ def _nhc_propagate(vel, xi, vxi, g, masses, kt, ndf, q, dt, n_c, ys_weights):
 
 def nose_hoover_chain(force_fn: Callable, dt: float, masses, temp_k: float,
                       frequency: float, chain_length: int = 10, n_c: int = 5,
-                      n_ys: int = 5, ndf: int = None):
+                      n_ys: int = 5, ndf: int = None, constraint=None):
     """Nose-Hoover chain velocity Verlet.
 
     Fuses HackNoseHooverIntegrator (NHC + first VV half,
@@ -210,7 +240,7 @@ def nose_hoover_chain(force_fn: Callable, dt: float, masses, temp_k: float,
     m = masses[:, None]
     n = masses.shape[0]
     if ndf is None:
-        ndf = 3 * n
+        ndf = 3 * n - (constraint.n_constraints if constraint else 0)
     kt = units.KB * temp_k
     q_single = kt / frequency**2
     q = jnp.concatenate([jnp.array([ndf * q_single]),
@@ -219,7 +249,8 @@ def nose_hoover_chain(force_fn: Callable, dt: float, masses, temp_k: float,
 
     def init_fn(pos, vel):
         return NoseHooverState(
-            pos=pos, vel=vel, force=force_fn(pos),
+            pos=pos, vel=_project_vel(constraint, pos, vel),
+            force=force_fn(pos),
             xi=jnp.zeros(chain_length),
             vxi=jnp.zeros(chain_length),
             # G initialized to -frequency^2 like the reference
@@ -231,9 +262,10 @@ def nose_hoover_chain(force_fn: Callable, dt: float, masses, temp_k: float,
             state.vel, state.xi, state.vxi, state.g, masses, kt, ndf, q, dt,
             n_c, ys)
         v = v + 0.5 * dt * state.force / m
-        x = state.pos + dt * v
+        x, v = _drift_project(constraint, state.pos, v, dt)
         f = force_fn(x)
         v = v + 0.5 * dt * f / m
+        v = _project_vel(constraint, x, v)
         v, xi, vxi, g = _nhc_propagate(v, xi, vxi, g, masses, kt, ndf, q, dt,
                                        n_c, ys)
         return NoseHooverState(pos=x, vel=v, force=f, xi=xi, vxi=vxi, g=g)
@@ -259,7 +291,7 @@ def nhc_bath_energies(state: NoseHooverState, temp_k, frequency, ndf):
 # --------------------------------------------------------------------------
 
 def andersen(force_fn: Callable, dt: float, masses, temp_k: float,
-             collision_rate: float):
+             collision_rate: float, constraint=None):
     """Velocity Verlet with per-DoF Andersen collisions
     (reference: /root/reference/code/hack_integrator.py:17-87: collision if
     uniform < dt*rate per DoF, velocity redrawn from Maxwell-Boltzmann)."""
@@ -268,7 +300,8 @@ def andersen(force_fn: Callable, dt: float, masses, temp_k: float,
     sigma = jnp.sqrt(units.KB * temp_k / masses)[:, None]
 
     def init_fn(pos, vel, rng):
-        return AndersenState(pos=pos, vel=vel, force=force_fn(pos), rng=rng)
+        return AndersenState(pos=pos, vel=_project_vel(constraint, pos, vel),
+                             force=force_fn(pos), rng=rng)
 
     def step_fn(state: AndersenState, noise=None) -> AndersenState:
         """noise, if given, is a pre-drawn (uniform [N,3], normal [N,3])."""
@@ -280,10 +313,12 @@ def andersen(force_fn: Callable, dt: float, masses, temp_k: float,
             rng, (u, xi) = state.rng, noise
         collide = u < p_collision
         v = jnp.where(collide, sigma * xi, state.vel)
+        v = _project_vel(constraint, state.pos, v)
         v = v + 0.5 * dt * state.force / m
-        x = state.pos + dt * v
+        x, v = _drift_project(constraint, state.pos, v, dt)
         f = force_fn(x)
         v = v + 0.5 * dt * f / m
+        v = _project_vel(constraint, x, v)
         return AndersenState(pos=x, vel=v, force=f, rng=rng)
 
     return init_fn, step_fn

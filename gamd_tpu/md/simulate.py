@@ -58,15 +58,18 @@ class Simulation:
     """
 
     def __init__(self, force_fn: Callable, system: SystemConfig,
-                 md: MDConfig, nbr_method: str = "dense"):
+                 md: MDConfig, nbr_method: str = "dense", constraint=None):
         if system.box is None:
             raise ValueError("Simulation requires a fixed box")
         self.force_fn = force_fn
         self.system = system
         self.md = md
         self.nbr_method = nbr_method
+        self.constraint = constraint
         self.masses = jnp.asarray(system.atom_masses())
         self.dt = md.dt_fs * units.FS
+        self.ndf = 3 * system.n_atoms - (
+            constraint.n_constraints if constraint is not None else 0)
         self._run_cache = {}
 
     # -- neighbor plumbing --------------------------------------------------
@@ -91,23 +94,24 @@ class Simulation:
     # -- integrator construction ---------------------------------------------
 
     def _integrator(self, force):
-        md, sysc = self.md, self.system
+        md, cst = self.md, self.constraint
         if md.integrator == "nve":
-            return integ.velocity_verlet(force, self.dt, self.masses)
+            return integ.velocity_verlet(force, self.dt, self.masses,
+                                         constraint=cst)
         if md.integrator == "langevin":
             return integ.baoab_langevin(
                 force, self.dt, self.masses, md.temperature,
-                friction=md.friction_per_ps / units.PS)
+                friction=md.friction_per_ps / units.PS, constraint=cst)
         if md.integrator == "nose_hoover":
             return integ.nose_hoover_chain(
                 force, self.dt, self.masses, md.temperature,
                 frequency=md.friction_per_ps / units.PS,
                 chain_length=md.chain_length, n_c=md.chain_mts,
-                n_ys=md.chain_ys)
+                n_ys=md.chain_ys, ndf=self.ndf, constraint=cst)
         if md.integrator == "andersen":
             return integ.andersen(
                 force, self.dt, self.masses, md.temperature,
-                collision_rate=md.friction_per_ps / units.PS)
+                collision_rate=md.friction_per_ps / units.PS, constraint=cst)
         raise ValueError(f"unknown integrator {self.md.integrator!r}")
 
     def init_state(self, pos, vel=None, rng=None):
@@ -126,12 +130,12 @@ class Simulation:
 
     # -- fused run -----------------------------------------------------------
 
-    def _make_run(self, n_steps: int):
-        rebuild = max(1, min(self.md.rebuild_every, n_steps))
-        n_chunks = -(-n_steps // rebuild)
+    def _chunk_fn(self, rebuild: int):
+        """One neighbor-rebuild chunk: rebuild the padded list, then scan
+        `rebuild` MD steps reusing it (Verlet-skin reuse). Shared by the
+        plain runner and the on-device frame recorder."""
         masses = self.masses
-        ndf = 3 * self.system.n_atoms
-
+        ndf = self.ndf
         stochastic = self.md.integrator in ("langevin", "andersen")
         n_atoms = self.system.n_atoms
 
@@ -165,12 +169,28 @@ class Simulation:
             pos_sample = space.wrap(state.pos, self.system.box)
             return (state, any_ovf | ovf), (ke, temp, pos_sample)
 
+        return chunk
+
+    def _make_run(self, n_steps: int):
+        rebuild = max(1, min(self.md.rebuild_every, n_steps))
+        n_chunks = n_steps // rebuild
+        remainder = n_steps % rebuild          # exact step count: a shorter
+        chunk = self._chunk_fn(rebuild)        # final chunk, never overshoot
+        chunk_rem = self._chunk_fn(remainder) if remainder else None
+
         @jax.jit
         def run(state):
             (state, ovf), (ke, temp, pos_samples) = jax.lax.scan(
                 chunk, (state, jnp.asarray(False)), None, length=n_chunks)
-            thermo = Thermo(kinetic_energy=ke.reshape(-1)[:n_steps],
-                            temperature=temp.reshape(-1)[:n_steps])
+            ke, temp = ke.reshape(-1), temp.reshape(-1)
+            if chunk_rem is not None:
+                (state, ovf), (ke_r, temp_r, pos_r) = chunk_rem(
+                    (state, ovf), None)
+                ke = jnp.concatenate([ke, ke_r])
+                temp = jnp.concatenate([temp, temp_r])
+                pos_samples = jnp.concatenate(
+                    [pos_samples, pos_r[None]]) if n_chunks else pos_r[None]
+            thermo = Thermo(kinetic_energy=ke, temperature=temp)
             return RunResult(state=state, thermo=thermo, overflow=ovf,
                              positions=pos_samples)
 
@@ -207,6 +227,55 @@ class Simulation:
         overflow = jnp.any(jnp.stack([r.overflow for r in results]))
         return RunResult(state=state, thermo=thermo, overflow=overflow,
                          positions=positions)
+
+    # -- on-device trajectory recording ----------------------------------
+
+    def _make_run_recorded(self, n_frames: int, record_interval: int,
+                           record_force):
+        rebuild = max(1, min(self.md.rebuild_every, record_interval))
+        while record_interval % rebuild:
+            rebuild -= 1                     # largest divisor <= cadence
+        n_chunks = record_interval // rebuild
+        chunk = self._chunk_fn(rebuild)
+        box = self.system.box
+
+        def frame(carry, _):
+            state, ovf = carry
+            posw = space.wrap(state.pos, box)
+            force = record_force(posw)
+            vel = state.vel
+            (state, ovf), (_, temp, _) = jax.lax.scan(
+                chunk, (state, ovf), None, length=n_chunks)
+            return (state, ovf), (posw, vel, force, temp[-1, -1])
+
+        @jax.jit
+        def run(state):
+            (state, ovf), (pos, vel, force, temp) = jax.lax.scan(
+                frame, (state, jnp.asarray(False)), None, length=n_frames)
+            return state, ovf, pos, vel, force, temp
+
+        return run
+
+    def run_recorded(self, state, n_frames: int, record_interval: int,
+                     record_force):
+        """Dataset-generation runner: emit (pos, vel, force) snapshots every
+        `record_interval` steps, advancing entirely on device — one dispatch
+        per call instead of one host round trip per frame (the reference
+        pulls state through the host for every frame,
+        /root/reference/dataset/generate_lj_data.py:93-106; round 1 measured
+        ~7 s/frame for water that way through the tunneled chip).
+
+        Frame t is recorded BEFORE advancing (frame 0 = the initial state).
+        `record_force(pos_wrapped) -> [N,3]` computes the recorded
+        ground-truth force (classical dense potential). Returns
+        (final_state, overflow, pos [F,N,3], vel [F,N,3], force [F,N,3],
+        temperature [F]).
+        """
+        key = ("recorded", n_frames, record_interval, id(record_force))
+        if key not in self._run_cache:
+            self._run_cache[key] = self._make_run_recorded(
+                n_frames, record_interval, record_force)
+        return self._run_cache[key](state)
 
     # -- independent replicas (vmapped) ---------------------------------
 

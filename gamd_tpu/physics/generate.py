@@ -1,12 +1,22 @@
-"""Ground-truth dataset generation with the classical LJ potential.
+"""Ground-truth dataset generation (classical potentials, on-device).
 
-First-party replacement for the reference's OpenMM-based generator
-(reference: /root/reference/dataset/generate_lj_data.py): per seed, randomly
-rotate + jitter the initial configuration, minimize, thermalize with a
-Nose-Hoover chain (chain 10, n_c 5, n_ys 5, T = 100 K, friction 25/ps,
-dt 2 fs), then record 1000 frames spaced 50 steps apart. Frames are written
-in the exact reference layout: data_{seed}_{t}.npz with keys pos (angstrom),
-vel (m/s), forces (kJ/mol/nm) (generate_lj_data.py:93-106).
+First-party replacement for the reference's OpenMM-based generators
+(reference: /root/reference/dataset/generate_lj_data.py,
+generate_tip3p_data.py, generate_tip4p_data.py): per seed, prepare an
+initial configuration, minimize, then thermalize with a Nose-Hoover chain
+and record frames in the exact reference layout (data_{seed}_{t}.npz with
+keys pos [angstrom], vel [m/s], forces [kJ/mol/nm]).
+
+TPU-first structure: frames are recorded INSIDE the device program
+(Simulation.run_recorded — an outer lax.scan emits (pos, vel, force) every
+`record_interval` steps), so a 250-frame block is ONE dispatch instead of
+250 host round trips. Round 1 measured ~7 s/frame for water with the
+per-frame host loop; the scan path generates at MD speed.
+
+Water is RIGID (SETTLE constraints, dt = 2 fs), matching the reference's
+constrained OpenMM WaterBox (generate_tip3p_data.py:55-78): recorded forces
+are nonbonded-only, exactly like OpenMM's getForces on rigid TIP3P/TIP4P-Ew.
+Pass rigid=False for the round-1 flexible variant (dt 0.5 fs).
 """
 
 import os
@@ -17,6 +27,7 @@ import numpy as np
 
 from gamd_tpu.core import space, units
 from gamd_tpu.core.config import MDConfig, get_preset
+from gamd_tpu.md.constraints import RigidWater, tip3p_rigid_params
 from gamd_tpu.md.simulate import Simulation
 from gamd_tpu.physics import lennard_jones as lj
 from gamd_tpu.physics.minimize import fire_minimize
@@ -35,11 +46,48 @@ def random_rotation_matrix(rng: np.random.RandomState):
     return rz @ ry @ rx
 
 
+def _record_seed(sim: Simulation, state, out_dir: str, seed: int,
+                 frames_per_seed: int, record_interval: int, record_force,
+                 frames_per_dispatch: int, log_every_frames: int,
+                 postprocess=None):
+    """Advance + record one seed's trajectory in device-program blocks and
+    write the per-frame npz files on the host."""
+    t = 0
+    while t < frames_per_seed:
+        n_f = min(frames_per_dispatch, frames_per_seed - t)
+        state, ovf, pos_f, vel_f, force_f, temp = sim.run_recorded(
+            state, n_f, record_interval, record_force)
+        if bool(ovf):
+            raise RuntimeError(
+                "neighbor capacity overflow during generation; "
+                "increase SystemConfig.nbr_capacity")
+        pos_np = np.asarray(pos_f, np.float32)
+        vel_np = np.asarray(vel_f, np.float32) / units.M_PER_S_TO_INTERNAL
+        force_np = (np.asarray(force_f, np.float32)
+                    / units.KJ_MOL_NM_TO_INTERNAL)
+        for i in range(n_f):
+            p, v, f = pos_np[i], vel_np[i], force_np[i]
+            if postprocess is not None:
+                p, v, f = postprocess(p, v, f)
+            np.savez(os.path.join(out_dir, f"data_{seed}_{t + i}.npz"),
+                     pos=np.ascontiguousarray(p),
+                     vel=np.ascontiguousarray(v),
+                     forces=np.ascontiguousarray(f))
+        t += n_f
+        if log_every_frames:
+            print(f"seed {seed}: frame {t}/{frames_per_seed} "
+                  f"T={float(temp[-1]):.1f}K", flush=True)
+    return state
+
+
 def generate_lj_dataset(out_dir, seeds=10, frames_per_seed=1000,
                         record_interval=50, n_particles=258,
-                        minimize_steps=2000, log_every_frames=100,
+                        minimize_steps=2000, log_every_frames=250,
+                        frames_per_dispatch=250,
                         params: lj.LJParams = lj.LJParams()):
-    """Generate the LJ training set; returns the output directory."""
+    """Generate the LJ training set; returns the output directory
+    (reference protocol: generate_lj_data.py:56-106 — rotate + jitter the
+    lattice, minimize, NHC 10/5/5 at 100 K, 1000 frames x 50 steps)."""
     os.makedirs(out_dir, exist_ok=True)
     system = get_preset("lj")
     box, lattice = lj.lj_fluid_box(n_particles, 0.5, params)
@@ -61,131 +109,106 @@ def generate_lj_dataset(out_dir, seeds=10, frames_per_seed=1000,
         pos = pos + host_rng.randn(*pos.shape).astype(np.float32) * 0.005
         pos = np.asarray(space.wrap(jnp.asarray(pos), box))
 
-        # Minimize with the classical potential.
         pos, _ = fire_minimize(dense_force, jnp.asarray(pos),
                                n_steps=minimize_steps)
-
         state = sim.init_state(pos, rng=jax.random.PRNGKey(1000 + seed))
-        for t in range(frames_per_seed):
-            p = np.ascontiguousarray(
-                np.asarray(space.wrap(state.pos, box), np.float32))
-            f = np.ascontiguousarray(
-                np.asarray(dense_force(jnp.asarray(p)), np.float32))
-            v = np.ascontiguousarray(np.asarray(state.vel, np.float32))
-            np.savez(os.path.join(out_dir, f"data_{seed}_{t}.npz"),
-                     pos=p,
-                     vel=v / units.M_PER_S_TO_INTERNAL,
-                     forces=f / units.KJ_MOL_NM_TO_INTERNAL)
-            result = sim.run(state, record_interval)
-            state = result.state
-            if bool(result.overflow):
-                raise RuntimeError(
-                    "neighbor capacity overflow during generation; "
-                    "increase SystemConfig.nbr_capacity")
-            if (t + 1) % log_every_frames == 0:
-                temp = float(result.thermo.temperature[-1])
-                print(f"seed {seed}: frame {t + 1}/{frames_per_seed} "
-                      f"T={temp:.1f}K", flush=True)
+        _record_seed(sim, state, out_dir, seed, frames_per_seed,
+                     record_interval, dense_force, frames_per_dispatch,
+                     log_every_frames)
     return out_dir
 
 
 def generate_water_dataset(out_dir, seeds=10, frames_per_seed=1000,
                            record_interval=50, n_molecules=258,
-                           minimize_steps=3000, dt_fs=0.5,
-                           log_every_frames=100):
+                           minimize_steps=3000, dt_fs=None, rigid=True,
+                           log_every_frames=250, frames_per_dispatch=250):
     """TIP3P water ground truth in the reference layout
     (reference: /root/reference/dataset/generate_tip3p_data.py: WaterBox
     2 nm, T = 300 K, friction 1/ps, NHC chain 10/5/5, 1000 frames x 50
-    steps). Flexible-TIP3P forces (see gamd_tpu.physics.water), so the
-    timestep defaults to 0.5 fs instead of the rigid reference's 2 fs.
-    """
+    steps, RIGID water at dt = 2 fs). rigid=True reproduces that protocol
+    with SETTLE constraints; rigid=False is the flexible variant
+    (dt 0.5 fs)."""
     from gamd_tpu.physics import water as w
 
     os.makedirs(out_dir, exist_ok=True)
+    if dt_fs is None:
+        dt_fs = 2.0 if rigid else 0.5
     system = get_preset("tip3p", n_atoms=3 * n_molecules)
     params = w.TIP3PParams()
     box = system.box
+    constraint = RigidWater(n_molecules, box,
+                            tip3p_rigid_params(params.r_oh,
+                                               params.theta0)) if rigid \
+        else None
     md = MDConfig(integrator="nose_hoover", temperature=300.0, dt_fs=dt_fs,
                   friction_per_ps=1.0, chain_length=10, chain_mts=5,
                   chain_ys=5, rebuild_every=10)
-    force_fn = w.tip3p_force_fn(box, params)
-    sim = Simulation(force_fn, system, md)
-    dense_force = jax.jit(lambda p: w.tip3p_forces(p, box, params))
+    force_fn = w.tip3p_force_fn(box, params, rigid=rigid)
+    sim = Simulation(force_fn, system, md, constraint=constraint)
+    fwd = w.tip3p_forces_rigid if rigid else w.tip3p_forces
+    record_force = jax.jit(lambda p: fwd(p, box, params))
+    # Minimize with the FLEXIBLE potential (the rigid one has no
+    # intramolecular restoring force), then snap onto the constraints.
+    minimize_force = jax.jit(lambda p: w.tip3p_forces(p, box, params))
 
     for seed in range(seeds):
         pos = w.water_box(n_molecules, box, params, seed=seed)
-        pos, _ = fire_minimize(dense_force, jnp.asarray(pos),
+        pos, _ = fire_minimize(minimize_force, jnp.asarray(pos),
                                n_steps=minimize_steps, max_step=0.05)
+        if constraint is not None:
+            pos = constraint.project_initial(pos)
         state = sim.init_state(pos, rng=jax.random.PRNGKey(2000 + seed))
-        for t in range(frames_per_seed):
-            p = np.ascontiguousarray(
-                np.asarray(space.wrap(state.pos, box), np.float32))
-            f = np.ascontiguousarray(
-                np.asarray(dense_force(jnp.asarray(p)), np.float32))
-            v = np.ascontiguousarray(np.asarray(state.vel, np.float32))
-            np.savez(os.path.join(out_dir, f"data_{seed}_{t}.npz"),
-                     pos=p,
-                     vel=v / units.M_PER_S_TO_INTERNAL,
-                     forces=f / units.KJ_MOL_NM_TO_INTERNAL)
-            result = sim.run(state, record_interval)
-            state = result.state
-            if bool(result.overflow):
-                raise RuntimeError("neighbor capacity overflow; "
-                                   "increase SystemConfig.nbr_capacity")
-            if (t + 1) % log_every_frames == 0:
-                temp = float(result.thermo.temperature[-1])
-                print(f"seed {seed}: frame {t + 1}/{frames_per_seed} "
-                      f"T={temp:.1f}K", flush=True)
+        _record_seed(sim, state, out_dir, seed, frames_per_seed,
+                     record_interval, record_force, frames_per_dispatch,
+                     log_every_frames)
     return out_dir
 
 
 def generate_tip4p_dataset(out_dir, seeds=10, frames_per_seed=1000,
                            record_interval=50, n_molecules=251,
-                           minimize_steps=3000, dt_fs=0.5,
-                           log_every_frames=100):
+                           minimize_steps=3000, dt_fs=None, rigid=True,
+                           log_every_frames=250, frames_per_dispatch=250):
     """TIP4P-Ew ground truth in the reference's 4-site frame layout
     (reference: /root/reference/dataset/generate_tip4p_data.py: WaterBox
-    model='tip4pew', 251 molecules). Frames store O,H,H,M rows per molecule;
-    the training loader drops the M rows (train_utils.py:58-64)."""
+    model='tip4pew', 251 molecules, rigid, dt = 2 fs). Frames store O,H,H,M
+    rows per molecule; the training loader drops the M rows
+    (train_utils.py:58-64)."""
     from gamd_tpu.physics import water as w
 
     os.makedirs(out_dir, exist_ok=True)
+    if dt_fs is None:
+        dt_fs = 2.0 if rigid else 0.5
     system = get_preset("tip4p", n_atoms=3 * n_molecules)
     params = w.TIP4PEwParams()
     box = system.box
+    constraint = RigidWater(n_molecules, box,
+                            tip3p_rigid_params(params.r_oh,
+                                               params.theta0)) if rigid \
+        else None
     md = MDConfig(integrator="nose_hoover", temperature=300.0, dt_fs=dt_fs,
                   friction_per_ps=1.0, chain_length=10, chain_mts=5,
                   chain_ys=5, rebuild_every=10)
-    force_fn = w.tip4pew_force_fn(box, params)
-    sim = Simulation(force_fn, system, md)
-    dense_force = jax.jit(lambda p: w.tip4pew_forces(p, box, params))
+    force_fn = w.tip4pew_force_fn(box, params, rigid=rigid)
+    sim = Simulation(force_fn, system, md, constraint=constraint)
+    fwd = w.tip4pew_forces_rigid if rigid else w.tip4pew_forces
+    record_force = jax.jit(lambda p: fwd(p, box, params))
+    minimize_force = jax.jit(lambda p: w.tip4pew_forces(p, box, params))
+
+    def to_4site(p, v, f):
+        pos4, f4 = w.expand_with_m_sites(p, f, box, params)
+        vel4, _ = w.expand_with_m_sites(v, np.zeros_like(v), box, params)
+        return pos4, vel4, f4
 
     for seed in range(seeds):
         pos = w.water_box(n_molecules, box,
                           w.TIP3PParams(r_oh=params.r_oh,
                                         theta0=params.theta0), seed=seed)
-        pos, _ = fire_minimize(dense_force, jnp.asarray(pos),
+        pos, _ = fire_minimize(minimize_force, jnp.asarray(pos),
                                n_steps=minimize_steps, max_step=0.05)
+        if constraint is not None:
+            pos = constraint.project_initial(pos)
         state = sim.init_state(pos, rng=jax.random.PRNGKey(3000 + seed))
-        for t in range(frames_per_seed):
-            p = np.ascontiguousarray(
-                np.asarray(space.wrap(state.pos, box), np.float32))
-            f = np.ascontiguousarray(
-                np.asarray(dense_force(jnp.asarray(p)), np.float32))
-            v = np.ascontiguousarray(np.asarray(state.vel, np.float32))
-            pos4, f4 = w.expand_with_m_sites(
-                p, f / units.KJ_MOL_NM_TO_INTERNAL, box, params)
-            vel4, _ = w.expand_with_m_sites(
-                v / units.M_PER_S_TO_INTERNAL, np.zeros_like(v), box, params)
-            np.savez(os.path.join(out_dir, f"data_{seed}_{t}.npz"),
-                     pos=pos4, vel=vel4, forces=f4)
-            result = sim.run(state, record_interval)
-            state = result.state
-            if bool(result.overflow):
-                raise RuntimeError("neighbor capacity overflow; "
-                                   "increase SystemConfig.nbr_capacity")
-            if (t + 1) % log_every_frames == 0:
-                temp = float(result.thermo.temperature[-1])
-                print(f"seed {seed}: frame {t + 1}/{frames_per_seed} "
-                      f"T={temp:.1f}K", flush=True)
+        _record_seed(sim, state, out_dir, seed, frames_per_seed,
+                     record_interval, record_force, frames_per_dispatch,
+                     log_every_frames, postprocess=to_4site)
     return out_dir

@@ -1,22 +1,24 @@
-"""Classical flexible-TIP3P water potential for ground-truth generation.
+"""Classical TIP3P / TIP4P-Ew water potentials for ground-truth generation.
 
 First-party replacement for the OpenMM WaterBox testsystems the reference
 uses to produce TIP3P/TIP4P-Ew training data (reference:
-/root/reference/dataset/generate_tip3p_data.py:55-78). Differences, stated
-plainly: the reference simulates RIGID water (OpenMM distance constraints);
-here bonds/angles are stiff harmonics (CHARMM-style flexible TIP3P) so the
-whole thing is a plain differentiable potential — no constraint solver —
-at the cost of needing a smaller timestep (0.5 fs vs 2 fs) during
-generation. Recorded forces are force-field forces either way, matching
-what OpenMM's getForces reports.
+/root/reference/dataset/generate_tip3p_data.py:55-78). Two variants:
 
-Terms (atoms ordered O,H,H per molecule):
-  * harmonic O-H bonds:   kb (r - r0)^2,   r0 = 0.9572 A
-  * harmonic H-O-H angle: ka (theta - theta0)^2, theta0 = 104.52 deg
-  * LJ on O-O pairs:      TIP3P sigma/epsilon
-  * Coulomb (qO, qH) with the damped-shifted-force (alpha=0) cutoff scheme,
-    which keeps both energy and force continuous at the cutoff;
-    intra-molecular nonbonded pairs excluded.
+  * RIGID (tip3p_energy_rigid / tip4pew_energy_rigid): nonbonded terms only;
+    the monomer geometry is enforced by SETTLE constraints
+    (gamd_tpu.md.constraints) at dt = 2 fs — the reference's protocol
+    (OpenMM WaterBox constrains all O-H/H-H distances). This is the default
+    for dataset generation: recorded forces contain no intramolecular
+    terms, exactly like OpenMM's getForces on rigid water.
+  * FLEXIBLE (tip3p_energy / tip4pew_energy): adds stiff harmonic bonds and
+    angles (CHARMM-style), a plain differentiable potential needing
+    dt = 0.5 fs.
+
+Nonbonded terms (atoms ordered O,H,H per molecule):
+  * LJ on O-O pairs:      TIP3P/TIP4P-Ew sigma/epsilon
+  * Coulomb (on O,H for TIP3P; on derived M,H sites for TIP4P-Ew) with the
+    damped-shifted-force (alpha=0) cutoff scheme, which keeps both energy
+    and force continuous at the cutoff; intra-molecular pairs excluded.
 
 Units: kJ/mol, angstrom.
 """
@@ -51,10 +53,8 @@ def atom_charges(n_molecules, p: TIP3PParams):
 
 
 def tip3p_energy(pos, box, params: TIP3PParams = TIP3PParams()):
-    """Total potential energy of an N = 3M atom water box [kJ/mol]."""
-    n = pos.shape[0]
-    assert n % 3 == 0
-    m = n // 3
+    """Total FLEXIBLE potential energy of an N = 3M atom box [kJ/mol]
+    (stiff harmonic bonds/angles + nonbonded)."""
     p = params
     o = pos[0::3]
     h1 = pos[1::3]
@@ -72,6 +72,21 @@ def tip3p_energy(pos, box, params: TIP3PParams = TIP3PParams()):
         jnp.linalg.norm(v1, axis=-1) * jnp.linalg.norm(v2, axis=-1), 1e-8)
     theta = jnp.arccos(jnp.clip(cos_t, -1 + 1e-7, 1 - 1e-7))
     e_angle = jnp.sum(p.k_angle * (theta - p.theta0) ** 2)
+
+    return e_bond + e_angle + tip3p_energy_rigid(pos, box, params)
+
+
+def tip3p_energy_rigid(pos, box, params: TIP3PParams = TIP3PParams()):
+    """Nonbonded-only TIP3P energy — the potential of RIGID water, where
+    bond/angle terms are replaced by holonomic constraints. This is what
+    the reference's ground-truth forces contain (OpenMM rigid TIP3P has no
+    intramolecular force terms; generate_tip3p_data.py:55-78), so datasets
+    generated with this potential + SETTLE are apples-to-apples with the
+    upstream water results."""
+    n = pos.shape[0]
+    assert n % 3 == 0
+    m = n // 3
+    p = params
 
     # Nonbonded: all pairs, same-molecule excluded.
     mol = jnp.arange(n) // 3
@@ -96,19 +111,26 @@ def tip3p_energy(pos, box, params: TIP3PParams = TIP3PParams()):
     e_c_pair = p.coulomb_k * qq * (1.0 / r - 1.0 / rc + (r - rc) / rc**2)
     e_coul = 0.5 * jnp.sum(jnp.where(pair_ok, e_c_pair, 0.0))
 
-    return e_bond + e_angle + e_lj + e_coul
+    return e_lj + e_coul
 
 
 def tip3p_forces(pos, box, params: TIP3PParams = TIP3PParams()):
     return -jax.grad(tip3p_energy)(pos, box, params)
 
 
-def tip3p_force_fn(box, params: TIP3PParams = TIP3PParams()):
+def tip3p_forces_rigid(pos, box, params: TIP3PParams = TIP3PParams()):
+    return -jax.grad(tip3p_energy_rigid)(pos, box, params)
+
+
+def tip3p_force_fn(box, params: TIP3PParams = TIP3PParams(),
+                   rigid: bool = False):
     """Dense force closure for the Simulation driver (ignores the padded
     neighbor list — at N<=774 the dense pair matrix is the fast path)."""
+    fwd = tip3p_forces_rigid if rigid else tip3p_forces
+
     def force(pos, idx, mask):
         del idx, mask
-        return tip3p_forces(pos, box, params)
+        return fwd(pos, box, params)
     return force
 
 
@@ -177,14 +199,7 @@ def tip4pew_m_sites(o, h1, h2, box, p):
 
 
 def tip4pew_energy(pos, box, params: TIP4PEwParams = TIP4PEwParams()):
-    """Energy of an N = 3M atom box (REAL atoms only; M sites derived).
-
-    Same intra terms as flexible TIP3P; LJ on O-O; Coulomb between derived
-    M sites and H atoms with the damped-shifted-force cutoff.
-    """
-    n = pos.shape[0]
-    assert n % 3 == 0
-    m = n // 3
+    """FLEXIBLE TIP4P-Ew energy (harmonic intra terms + nonbonded)."""
     p = params
     o = pos[0::3]
     h1 = pos[1::3]
@@ -200,6 +215,22 @@ def tip4pew_energy(pos, box, params: TIP4PEwParams = TIP4PEwParams()):
         jnp.linalg.norm(v1, axis=-1) * jnp.linalg.norm(v2, axis=-1), 1e-8)
     theta = jnp.arccos(jnp.clip(cos_t, -1 + 1e-7, 1 - 1e-7))
     e_angle = jnp.sum(p.k_angle * (theta - p.theta0) ** 2)
+
+    return e_bond + e_angle + tip4pew_energy_rigid(pos, box, params)
+
+
+def tip4pew_energy_rigid(pos, box, params: TIP4PEwParams = TIP4PEwParams()):
+    """Nonbonded-only TIP4P-Ew energy (rigid-water potential): LJ on O-O +
+    Coulomb between derived M/H charge sites. Gradients redistribute the
+    M-site forces onto the real atoms automatically (see tip4pew_m_sites).
+    """
+    n = pos.shape[0]
+    assert n % 3 == 0
+    m = n // 3
+    p = params
+    o = pos[0::3]
+    h1 = pos[1::3]
+    h2 = pos[2::3]
 
     # LJ on O-O.
     d2_oo = space.pairwise_distance2(o, box) + jnp.eye(m) * 1e9
@@ -224,17 +255,24 @@ def tip4pew_energy(pos, box, params: TIP4PEwParams = TIP4PEwParams()):
     e_c = p.coulomb_k * qq * (1.0 / r - 1.0 / rc + (r - rc) / rc**2)
     e_coul = 0.5 * jnp.sum(jnp.where(ok, e_c, 0.0))
 
-    return e_bond + e_angle + e_lj + e_coul
+    return e_lj + e_coul
 
 
 def tip4pew_forces(pos, box, params: TIP4PEwParams = TIP4PEwParams()):
     return -jax.grad(tip4pew_energy)(pos, box, params)
 
 
-def tip4pew_force_fn(box, params: TIP4PEwParams = TIP4PEwParams()):
+def tip4pew_forces_rigid(pos, box, params: TIP4PEwParams = TIP4PEwParams()):
+    return -jax.grad(tip4pew_energy_rigid)(pos, box, params)
+
+
+def tip4pew_force_fn(box, params: TIP4PEwParams = TIP4PEwParams(),
+                     rigid: bool = False):
+    fwd = tip4pew_forces_rigid if rigid else tip4pew_forces
+
     def force(pos, idx, mask):
         del idx, mask
-        return tip4pew_forces(pos, box, params)
+        return fwd(pos, box, params)
     return force
 
 

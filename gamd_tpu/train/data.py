@@ -101,13 +101,19 @@ class TrajectoryDataset:
 
         from gamd_tpu.train import native_io
         drop_m = self.data_type == "tip4p"
+        pos = forces = None
         if native_io.available():
             probe = self._read_raw(0)
             n_atoms = probe["pos"].shape[0]
-            pos, forces = native_io.pack_trajectory(
-                self.dataset_path, self.seed_num, self.sample_num, n_atoms,
-                drop_m_site=drop_m, prefix=self.case_prefix)
-        else:
+            try:
+                pos, forces = native_io.pack_trajectory(
+                    self.dataset_path, self.seed_num, self.sample_num,
+                    n_atoms, drop_m_site=drop_m, prefix=self.case_prefix)
+            except RuntimeError as e:
+                # The csrc packer reads the STORED/v1.0 npz subset only;
+                # compressed or exotic archives fall back to numpy.
+                print(f"native packer failed ({e}); numpy fallback")
+        if pos is None:
             all_pos, all_forces = [], []
             for flat in range(self.seed_num * self.sample_num):
                 frame = self._read_raw(flat)

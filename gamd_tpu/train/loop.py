@@ -291,7 +291,8 @@ def train(system: SystemConfig, model_cfg: ModelConfig,
 
     if mesh is None and system.box is not None:
         return _train_epoch_scan(model, system, train_cfg, tx, state,
-                                 train_data, val_data, ckpt_dir, log_fn)
+                                 train_data, val_data, ckpt_dir, log_fn,
+                                 model_cfg)
 
     train_step = make_train_step(model, system, train_cfg, tx)
     eval_step = make_eval_step(model, system)
@@ -331,7 +332,7 @@ def train(system: SystemConfig, model_cfg: ModelConfig,
                          or epoch == train_cfg.max_epoch - 1):
             os.makedirs(ckpt_dir, exist_ok=True)
             save_checkpoint(os.path.join(ckpt_dir, f"checkpoint_{epoch}.msgpack"),
-                            state)
+                            state, model_cfg=model_cfg, system=system)
             save_scaler(os.path.join(ckpt_dir, f"scaler_{epoch}.npz"), state)
 
     return state
@@ -352,7 +353,7 @@ def _stack_dataset(dataset):
 
 
 def _train_epoch_scan(model, system, train_cfg, tx, state, train_data,
-                      val_data, ckpt_dir, log_fn):
+                      val_data, ckpt_dir, log_fn, model_cfg=None):
     """Epoch driver on the one-dispatch-per-epoch path."""
     pos_tr, force_tr, feat_tr = _stack_dataset(train_data)
     n_frames = pos_tr.shape[0]
@@ -383,6 +384,7 @@ def _train_epoch_scan(model, system, train_cfg, tx, state, train_data,
                          or epoch == train_cfg.max_epoch - 1):
             os.makedirs(ckpt_dir, exist_ok=True)
             save_checkpoint(
-                os.path.join(ckpt_dir, f"checkpoint_{epoch}.msgpack"), state)
+                os.path.join(ckpt_dir, f"checkpoint_{epoch}.msgpack"), state,
+                model_cfg=model_cfg, system=system)
             save_scaler(os.path.join(ckpt_dir, f"scaler_{epoch}.npz"), state)
     return state

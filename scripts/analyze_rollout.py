@@ -35,14 +35,24 @@ def main():
     parser.add_argument("--equil_fraction", default=0.3, type=float)
     parser.add_argument("--n_bins", default=100, type=int)
     parser.add_argument("--max_gt_frames", default=200, type=int)
+    # Architecture fallbacks for LEGACY checkpoints (envelope checkpoints
+    # embed their config and ignore these).
     parser.add_argument("--encoding_size", default=128, type=int)
     parser.add_argument("--hidden_dim", default=128, type=int)
     parser.add_argument("--edge_embedding_dim", default=128, type=int)
     parser.add_argument("--conv_layer", default=4, type=int)
+    parser.add_argument("--use_layer_norm", default=True,
+                        action=argparse.BooleanOptionalAction,
+                        help="legacy-checkpoint fallback: LayerNorm (default)"
+                             " vs BatchNorm (--no-use_layer_norm)")
     parser.add_argument("--use_pallas", action="store_true",
                         help="fused Pallas kernels for the force model")
+    parser.add_argument("--rigid", default=True,
+                        action=argparse.BooleanOptionalAction,
+                        help="water: SETTLE-constrained rollout (reference "
+                             "protocol)")
     parser.add_argument("--classical_baseline", action="store_true",
-                        help="also run a classical-LJ rollout of the same "
+                        help="also run a classical rollout of the same "
                              "length from the same start (apples-to-apples "
                              "RDF oracle with identical sampling)")
     parser.add_argument("--json_out", default=None)
@@ -52,24 +62,26 @@ def main():
     import jax.numpy as jnp
     import numpy as np
 
-    from gamd_tpu.core.config import (MDConfig, ModelConfig, TrainConfig,
-                                      get_preset)
+    from gamd_tpu.core.config import MDConfig, ModelConfig, get_preset
     from gamd_tpu.md.simulate import Simulation
     from gamd_tpu.physics.rdf import radial_distribution, rdf_l2
-    from gamd_tpu.train.checkpoint import load_checkpoint
+    from gamd_tpu.train.checkpoint import load_self_describing
     from gamd_tpu.train.forcefield import GNNForceField
-    from gamd_tpu.train.state import build_model, create_train_state
 
-    system = get_preset(args.system)
-    model_cfg = ModelConfig(
+    fallback_cfg = ModelConfig(
         encoding_size=args.encoding_size, hidden_dim=args.hidden_dim,
         edge_embedding_dim=args.edge_embedding_dim,
-        conv_layers=args.conv_layer, use_layer_norm=True,
+        conv_layers=args.conv_layer, use_layer_norm=args.use_layer_norm)
+    state, model_cfg, system = load_self_describing(
+        args.ckpt, fallback_model_cfg=fallback_cfg,
+        fallback_system=get_preset(args.system),
         use_pallas=args.use_pallas)
-    model = build_model(model_cfg, system)
-    state = create_train_state(model, system, TrainConfig(), 1)
-    state = load_checkpoint(args.ckpt, state)
     ff = GNNForceField(state, system, model_cfg)
+
+    constraint = None
+    if args.system in ("tip3p", "tip4p") and args.rigid:
+        from gamd_tpu.md.constraints import RigidWater
+        constraint = RigidWater(system.n_atoms // 3, system.box)
 
     # Ground-truth frames: sample evenly across seeds and (equilibrated)
     # times — naive sorted()[:N] would take only seed 0's earliest frames,
@@ -100,9 +112,11 @@ def main():
     md = MDConfig(integrator=args.integrator, n_steps=args.steps,
                   temperature=system.temperature, dt_fs=system.dt_fs,
                   friction_per_ps=system.friction_per_ps, rebuild_every=20)
-    sim = Simulation(ff.force_fn(), system, md)
-    st = sim.init_state(jnp.asarray(gt_frames[-1]),
-                        rng=jax.random.PRNGKey(0))
+    sim = Simulation(ff.force_fn(), system, md, constraint=constraint)
+    start_pos = jnp.asarray(gt_frames[-1])
+    if constraint is not None:
+        start_pos = constraint.project_initial(start_pos)
+    st = sim.init_state(start_pos, rng=jax.random.PRNGKey(0))
     result = sim.run_segmented(st, args.steps)
     jax.block_until_ready(result.state.pos)
     if bool(result.overflow):
@@ -121,15 +135,23 @@ def main():
     _, g_gt = radial_distribution(gt_frames, system.box, n_bins=args.n_bins,
                                   species_a=species, species_b=species)
     extra = {}
-    if args.classical_baseline and args.system == "lj":
-        from gamd_tpu.physics import lennard_jones as lj
-        sim_cl = Simulation(lj.lj_force_fn(system.box), system, md)
-        st_cl = sim_cl.init_state(jnp.asarray(gt_frames[-1]),
-                                  rng=jax.random.PRNGKey(1))
+    if args.classical_baseline:
+        if args.system == "lj":
+            from gamd_tpu.physics import lennard_jones as lj
+            cl_force = lj.lj_force_fn(system.box)
+        else:
+            from gamd_tpu.physics import water as w
+            if args.system == "tip3p":
+                cl_force = w.tip3p_force_fn(system.box, rigid=args.rigid)
+            else:
+                cl_force = w.tip4pew_force_fn(system.box, rigid=args.rigid)
+        sim_cl = Simulation(cl_force, system, md, constraint=constraint)
+        st_cl = sim_cl.init_state(start_pos, rng=jax.random.PRNGKey(1))
         res_cl = sim_cl.run_segmented(st_cl, args.steps)
         frames_cl = np.asarray(res_cl.positions)[n_equil:]
         _, g_cl = radial_distribution(frames_cl, system.box,
-                                      n_bins=args.n_bins)
+                                      n_bins=args.n_bins,
+                                      species_a=species, species_b=species)
         extra = {
             "rdf_l2_vs_classical_rollout": rdf_l2(g_gnn, g_cl),
             "rdf_peak_classical_rollout": float(g_cl.max()),

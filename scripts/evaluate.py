@@ -27,10 +27,17 @@ def main():
                         choices=["lj", "tip3p", "tip4p", "dft"])
     parser.add_argument("--ckpt", required=True)
     parser.add_argument("--data_dir", required=True)
+    # Architecture fallbacks for LEGACY checkpoints only: envelope
+    # checkpoints (round 2+) embed their ModelConfig/SystemConfig and
+    # ignore these flags.
     parser.add_argument("--encoding_size", default=128, type=int)
     parser.add_argument("--hidden_dim", default=128, type=int)
     parser.add_argument("--edge_embedding_dim", default=128, type=int)
     parser.add_argument("--conv_layer", default=4, type=int)
+    parser.add_argument("--use_layer_norm", default=True,
+                        action=argparse.BooleanOptionalAction,
+                        help="legacy-checkpoint fallback: LayerNorm (default)"
+                             " vs BatchNorm (--no-use_layer_norm)")
     parser.add_argument("--use_pallas", action="store_true",
                         help="fused Pallas kernels for the force model")
     parser.add_argument("--max_frames", default=None, type=int)
@@ -42,22 +49,20 @@ def main():
     import numpy as np
 
     from gamd_tpu.core import units
-    from gamd_tpu.core.config import ModelConfig, TrainConfig, get_preset
-    from gamd_tpu.train.checkpoint import load_checkpoint
+    from gamd_tpu.core.config import ModelConfig, get_preset
+    from gamd_tpu.train.checkpoint import load_self_describing
     from gamd_tpu.train.data import RealLargeDataset, TrajectoryDataset
     from gamd_tpu.train.forcefield import GNNForceField
-    from gamd_tpu.train.state import build_model, create_train_state
 
-    system = get_preset(args.system)
-    model_cfg = ModelConfig(
+    fallback_cfg = ModelConfig(
         encoding_size=args.encoding_size, hidden_dim=args.hidden_dim,
         edge_embedding_dim=args.edge_embedding_dim,
-        conv_layers=args.conv_layer, use_layer_norm=True,
-        flip_dir=(args.system == "dft"), use_pallas=args.use_pallas)
-
-    model = build_model(model_cfg, system)
-    state = create_train_state(model, system, TrainConfig(), 1)
-    state = load_checkpoint(args.ckpt, state)
+        conv_layers=args.conv_layer, use_layer_norm=args.use_layer_norm,
+        flip_dir=(args.system == "dft"))
+    state, model_cfg, system = load_self_describing(
+        args.ckpt, fallback_model_cfg=fallback_cfg,
+        fallback_system=get_preset(args.system),
+        use_pallas=args.use_pallas)
     ff = GNNForceField(state, system, model_cfg)
 
     if args.system == "dft":

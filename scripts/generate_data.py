@@ -22,6 +22,11 @@ def main():
     parser.add_argument("--frames", default=1000, type=int)
     parser.add_argument("--interval", default=50, type=int)
     parser.add_argument("--particles", default=258, type=int)
+    parser.add_argument("--flexible", action="store_true",
+                        help="water only: flexible harmonic monomers at "
+                             "dt 0.5 fs instead of rigid SETTLE at 2 fs")
+    parser.add_argument("--dispatch_frames", default=250, type=int,
+                        help="frames recorded per device program")
     args = parser.parse_args()
 
     if args.system == "lj":
@@ -29,18 +34,23 @@ def main():
         generate_lj_dataset(args.out, seeds=args.seeds,
                             frames_per_seed=args.frames,
                             record_interval=args.interval,
-                            n_particles=args.particles)
+                            n_particles=args.particles,
+                            frames_per_dispatch=args.dispatch_frames)
     elif args.system == "tip4p":
         from gamd_tpu.physics.generate import generate_tip4p_dataset
         generate_tip4p_dataset(args.out, seeds=args.seeds,
                                frames_per_seed=args.frames,
-                               record_interval=args.interval)
+                               record_interval=args.interval,
+                               rigid=not args.flexible,
+                               frames_per_dispatch=args.dispatch_frames)
     else:
         from gamd_tpu.physics.generate import generate_water_dataset
         generate_water_dataset(args.out, seeds=args.seeds,
                                frames_per_seed=args.frames,
                                record_interval=args.interval,
-                               n_molecules=args.particles if args.particles != 258 else 258)
+                               n_molecules=args.particles if args.particles != 258 else 258,
+                               rigid=not args.flexible,
+                               frames_per_dispatch=args.dispatch_frames)
     print(f"Wrote {args.seeds * args.frames} frames to {args.out}")
 
 

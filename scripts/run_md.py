@@ -37,12 +37,23 @@ def main():
     parser.add_argument("--log", default="log_nvt_gnn.txt")
     parser.add_argument("--out_traj", default=None,
                         help="optional .npy to save final positions")
+    # Architecture fallbacks for LEGACY checkpoints (envelope checkpoints
+    # embed their config and ignore these).
     parser.add_argument("--encoding_size", default=128, type=int)
     parser.add_argument("--hidden_dim", default=128, type=int)
     parser.add_argument("--edge_embedding_dim", default=128, type=int)
     parser.add_argument("--conv_layer", default=4, type=int)
+    parser.add_argument("--use_layer_norm", default=True,
+                        action=argparse.BooleanOptionalAction,
+                        help="legacy-checkpoint fallback: LayerNorm (default)"
+                             " vs BatchNorm (--no-use_layer_norm)")
     parser.add_argument("--use_pallas", action="store_true",
                         help="fused Pallas kernels for the force model")
+    parser.add_argument("--rigid", default=True,
+                        action=argparse.BooleanOptionalAction,
+                        help="water systems: SETTLE rigid-monomer rollout "
+                             "(the reference protocol); --no-rigid for "
+                             "unconstrained dynamics")
     parser.add_argument("--seed", default=0, type=int)
     args = parser.parse_args()
 
@@ -50,29 +61,37 @@ def main():
     import jax.numpy as jnp
     import numpy as np
 
-    from gamd_tpu.core.config import (MDConfig, ModelConfig, TrainConfig,
-                                      get_preset)
+    from gamd_tpu.core.config import MDConfig, ModelConfig, get_preset
     from gamd_tpu.md.reporters import StateReporter
     from gamd_tpu.md.simulate import Simulation
     from gamd_tpu.physics import lennard_jones as lj
     from gamd_tpu.physics.minimize import fire_minimize
-    from gamd_tpu.train.checkpoint import load_checkpoint
+    from gamd_tpu.train.checkpoint import load_self_describing
     from gamd_tpu.train.forcefield import GNNForceField
     from gamd_tpu.train.state import build_model, create_train_state
 
-    system = get_preset(args.system)
-    model_cfg = ModelConfig(
+    fallback_cfg = ModelConfig(
         encoding_size=args.encoding_size, hidden_dim=args.hidden_dim,
         edge_embedding_dim=args.edge_embedding_dim,
-        conv_layers=args.conv_layer, use_layer_norm=True,
-        use_pallas=args.use_pallas)
-
-    model = build_model(model_cfg, system)
-    state = create_train_state(model, system, TrainConfig(), 1)
+        conv_layers=args.conv_layer, use_layer_norm=args.use_layer_norm)
     if args.ckpt:
-        state = load_checkpoint(args.ckpt, state)
+        state, model_cfg, system = load_self_describing(
+            args.ckpt, fallback_model_cfg=fallback_cfg,
+            fallback_system=get_preset(args.system),
+            use_pallas=args.use_pallas)
         print(f"Loaded {args.ckpt}")
+    else:
+        from gamd_tpu.core.config import TrainConfig
+        system = get_preset(args.system)
+        model_cfg = fallback_cfg
+        model = build_model(model_cfg, system)
+        state = create_train_state(model, system, TrainConfig(), 1)
     ff = GNNForceField(state, system, model_cfg)
+
+    constraint = None
+    if args.system in ("tip3p", "tip4p") and args.rigid:
+        from gamd_tpu.md.constraints import RigidWater
+        constraint = RigidWater(system.n_atoms // 3, system.box)
 
     # Initial positions.
     if args.init_pos:
@@ -90,6 +109,8 @@ def main():
         pos, _ = fire_minimize(force, jnp.asarray(pos), n_steps=1500,
                                max_step=0.05)
         pos = np.asarray(pos)
+    if constraint is not None:
+        pos = np.asarray(constraint.project_initial(jnp.asarray(pos)))
 
     md = MDConfig(
         integrator=args.integrator, n_steps=args.steps,
@@ -99,7 +120,7 @@ def main():
         rebuild_every=args.rebuild_every, report_every=args.report_every,
         seed=args.seed)
 
-    sim = Simulation(ff.force_fn(), system, md)
+    sim = Simulation(ff.force_fn(), system, md, constraint=constraint)
     st = sim.init_state(jnp.asarray(pos), rng=jax.random.PRNGKey(args.seed))
 
     print(f"Simulating {system.n_atoms} atoms, {args.steps} steps "

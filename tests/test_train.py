@@ -188,6 +188,49 @@ def test_eval_step_metrics():
         assert np.isfinite(float(m[key]))
 
 
+def test_checkpoint_self_describing(tmp_path):
+    """Envelope checkpoints embed Model/SystemConfig; legacy (state-only)
+    files still load (round-1 artifacts)."""
+    import flax.serialization
+    from gamd_tpu.train.checkpoint import (load_checkpoint_configs,
+                                           load_self_describing)
+
+    system, _ = make_lj_frames(n_frames=2)
+    cfg = TrainConfig(max_epoch=1, batch_size=2)
+    model = build_model(TINY, system)
+    state = create_train_state(model, system, cfg, 1)
+
+    p = tmp_path / "ckpt.msgpack"
+    save_checkpoint(str(p), state, model_cfg=TINY, system=system)
+    st2, cfg2, sys2 = load_self_describing(str(p))
+    assert cfg2 == TINY
+    assert sys2 == system
+    for a, b in zip(jax.tree.leaves(state.params),
+                    jax.tree.leaves(st2.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # Runtime override doesn't disturb the architecture.
+    _, cfg3, _ = load_self_describing(str(p), compute_dtype="bfloat16")
+    assert cfg3.compute_dtype == "bfloat16"
+    assert cfg3.encoding_size == TINY.encoding_size
+
+    # Legacy layout: raw state bytes, no meta.
+    legacy = tmp_path / "legacy.msgpack"
+    with open(legacy, "wb") as f:
+        f.write(flax.serialization.to_bytes(state))
+    assert load_checkpoint_configs(str(legacy)) == (None, None)
+    template = create_train_state(model, system, cfg, 1,
+                                  rng=jax.random.PRNGKey(5))
+    restored = load_checkpoint(str(legacy), template)
+    np.testing.assert_array_equal(
+        np.asarray(jax.tree.leaves(restored.params)[0]),
+        np.asarray(jax.tree.leaves(state.params)[0]))
+    st4, cfg4, _ = load_self_describing(
+        str(legacy), fallback_model_cfg=TINY, fallback_system=system)
+    assert cfg4 == TINY
+    with pytest.raises(ValueError):
+        load_self_describing(str(legacy))
+
+
 def test_checkpoint_roundtrip(tmp_path):
     system, frames = make_lj_frames(n_frames=2)
     cfg = TrainConfig(max_epoch=1, batch_size=2)
