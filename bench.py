@@ -32,10 +32,11 @@ def main():
     # cutoff + 0.5 A skin with K=64 (thermal drift over a 20-step reuse
     # window is ~0.06 A, and overflow is still detected and reported).
     system = get_preset("lj", skin=0.5, nbr_capacity=64)
-    # Pallas conv kernel (in-kernel one-hot gathers, bf16 MXU matmuls with
-    # fp32 accumulation) + fused feature/encoder kernel. The XLA fallback
-    # runs everything fp32 (a flax-level bf16 policy measured slower).
-    model_cfg = lj_model_config(use_pallas=True, use_pallas_encoder=True)
+    # Whole-model megakernel (ops.pallas_model): one Pallas program from
+    # positions to forces — featurization, encoder, all conv layers (edge
+    # embedding VMEM-resident throughout), decoder, and the true-cutoff
+    # mask refresh. The XLA fallback runs everything fp32.
+    model_cfg = lj_model_config()
     # Architecture-only benchmark: untrained weights, real compute graph.
     state = create_train_state(
         build_model(model_cfg, system), system, TrainConfig(), 1,
@@ -45,7 +46,7 @@ def main():
     md = MDConfig(integrator="langevin", temperature=system.temperature,
                   dt_fs=system.dt_fs, friction_per_ps=system.friction_per_ps,
                   rebuild_every=20)
-    sim = Simulation(ff.force_fn(), system, md)
+    sim = Simulation(ff.force_fn(megakernel=True), system, md)
 
     box, pos0 = lj.lj_fluid_box(system.n_atoms, 0.5)
     st = sim.init_state(jnp.asarray(pos0), rng=jax.random.PRNGKey(1))

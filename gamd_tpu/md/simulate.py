@@ -84,6 +84,14 @@ class Simulation:
                                        sysc.nbr_capacity)
 
     def _force_with(self, idx, mask):
+        if getattr(self.force_fn, "handles_refresh", False):
+            # Megakernel force models fold the true-cutoff mask refresh into
+            # their own distance computation — pass the raw build-time mask.
+            def force(pos):
+                posw = space.wrap(pos, self.system.box)
+                return self.force_fn(posw, idx, mask)
+            return force
+
         def force(pos):
             posw = space.wrap(pos, self.system.box)
             live = dense.refresh_mask(posw, self.system.box,

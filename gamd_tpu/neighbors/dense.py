@@ -75,6 +75,48 @@ def dense_neighbor_list(pos, box, cutoff, k_max, include_self=False):
     return idx.astype(jnp.int32), mask, overflow
 
 
+@partial(jax.jit, static_argnames=("k_max",))
+def rect_neighbor_list(query_pos, src_pos, src_valid, box, cutoff, k_max,
+                       self_idx=None):
+    """Padded [Nq, K] neighbor list of query atoms against a SEPARATE source
+    set — the spatial-decomposition primitive (each slab queries its owned
+    atoms against owned + halo positions; gamd_tpu.parallel.halo_gnn).
+
+    Args:
+        query_pos: [Nq, 3].
+        src_pos:   [Ns, 3] environment positions (may include padding rows).
+        src_valid: [Ns] bool validity of environment rows.
+        self_idx:  optional [Nq] int — the environment index of each query
+            atom, excluded from its own list (None = no exclusion).
+
+    Returns (idx [Nq, K] into src, mask [Nq, K], overflow). Padded slots
+    point at self_idx (or 0) so gathers stay in-bounds.
+    """
+    nq = query_pos.shape[0]
+    disp = space.min_image(src_pos[None, :, :] - query_pos[:, None, :], box)
+    d2 = jnp.sum(disp * disp, axis=-1)                      # [Nq, Ns]
+    within = src_valid[None, :] & (d2 < cutoff * cutoff)
+    if self_idx is not None:
+        cols = jnp.arange(src_pos.shape[0])
+        within = within & (cols[None, :] != self_idx[:, None])
+    overflow = jnp.any(jnp.sum(within, axis=1) > k_max)
+
+    d2_masked = jnp.where(within, d2, jnp.inf)
+    k_eff = min(k_max, src_pos.shape[0])
+    neg, idx = jax.lax.top_k(-d2_masked, k_eff)
+    mask = neg > -jnp.inf
+    fill = (jnp.zeros((nq,), jnp.int32) if self_idx is None
+            else self_idx.astype(jnp.int32))[:, None]
+    idx = jnp.where(mask, idx, fill)
+    if k_eff < k_max:
+        pad = k_max - k_eff
+        idx = jnp.concatenate(
+            [idx, jnp.tile(fill, (1, pad)).astype(idx.dtype)], axis=1)
+        mask = jnp.concatenate(
+            [mask, jnp.zeros((nq, pad), dtype=bool)], axis=1)
+    return idx.astype(jnp.int32), mask, overflow
+
+
 @jax.jit
 def refresh_mask(pos, box, cutoff, idx, mask):
     """Re-validate a stale neighbor list against current positions.

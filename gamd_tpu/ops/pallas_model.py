@@ -1,0 +1,556 @@
+"""Whole-force-model Pallas megakernel: ONE device program from positions to
+per-atom forces.
+
+Round-1 traces put the LJ-258 MD step at ~390 us: 4x28 us conv kernels +
+~85 us feature/encoder + ~40 us of node-level XLA between kernels, dominated
+by kernel launch boundaries and HBM re-reads of the [N, K, E] edge embedding
+(4.2 MB bf16) between layers. This kernel runs the ENTIRE GAMDNet forward —
+edge featurization + encoder MLP + LayerNorm, `conv_layers` EdgeGatedConv
+layers (in-kernel node LayerNorm / folded BatchNorm, one-hot MXU gathers,
+edge pipeline, masked aggregation, node update + residual), and the decoder
+MLP — in a single pallas_call with the edge embedding VMEM-resident
+throughout. Grid = (replicas,): each grid step is one independent system,
+which is also the explicit batch dimension that fixes the vmap-lowered
+replica collapse (round-1: 8 vmapped replicas -> 208 steps/s each).
+
+Math parity targets (reference: /root/reference/code/nn_module.py):
+  * edge features [unit(3), std_dist, rbf(40), bond?] -> encoder MLP hl=3
+    (gelu) + LayerNorm (:584-600,435-449);
+  * per layer: theta_edge(edge_affine(e) + src_code + dst_code) gate,
+    masked K-sum, phi node update + residual (:130-147), pre-norm
+    LayerNorm/BatchNorm (:198-206);
+  * decoder MLP hl=2 (gelu) (:601, MLP builder :21-75).
+
+All matmuls run bf16 on the MXU with fp32 accumulation; one-hot gathers use
+the hi/lo bf16 split so row selection stays fp32-exact (see ops.pallas_mp).
+gelu is the tanh approximation (Mosaic has no erf; error ~1e-3, below the
+bf16 noise floor). Force denormalization (scaler std/mean + unit conversion)
+is folded into the decoder's final affine at pack time — zero runtime cost.
+
+The kernel also computes the true-cutoff live mask from current positions
+(replacing neighbors/dense.refresh_mask in the MD loop), so the Verlet-skin
+mask refresh costs nothing extra: the distances are already in registers.
+
+VMEM budget at LJ-258 (K=64, D=E=H=128, 4 layers): e 4.5 MB + weights
+~3 MB + node/scratch ~1.5 MB + per-tile values ~2 MB = ~11 MB of 16 MB.
+"""
+
+import functools
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _round_up(x, m):
+    return -(-x // m) * m
+
+
+def _gelu_tanh(x):
+    c = np.float32(np.sqrt(2.0 / np.pi))
+    return 0.5 * x * (1.0 + jnp.tanh(c * (x + 0.044715 * x * x * x)))
+
+
+def _silu(x):
+    return x * jax.nn.sigmoid(x)
+
+
+_ACTS = {"gelu": _gelu_tanh, "silu": _silu}
+
+
+class MegaParams(NamedTuple):
+    """GAMDNet weights re-packed for the megakernel (layer axes stacked)."""
+
+    # encoder
+    centers: jax.Array       # [1, 128] RBF centers (zero-padded)
+    w_geo: jax.Array         # [8, H]: rows 0-2 unit, 3 std-dist, 4 bond
+    w_rbf: jax.Array         # [128, H] (rows >= n_rbf are zero)
+    b0: jax.Array            # [1, H]
+    w1: jax.Array            # [H, H]
+    b1: jax.Array            # [1, H]
+    w2: jax.Array            # [H, E]
+    b2: jax.Array            # [1, E]
+    eln_s: jax.Array         # [1, E] edge LayerNorm scale
+    eln_b: jax.Array         # [1, E]
+    # conv layers (leading axis L)
+    nln_s: jax.Array         # [L, 1, D] node norm scale (LN) / folded BN a
+    nln_b: jax.Array         # [L, 1, D]
+    w_src: jax.Array         # [L, D, H]
+    b_src: jax.Array         # [L, 1, H]
+    w_dst: jax.Array         # [L, D, H]
+    b_dst: jax.Array         # [L, 1, H]
+    w_e1: jax.Array          # [L, E, H]
+    b_e1: jax.Array          # [L, 1, H]
+    w_e2: jax.Array          # [L, H, H]
+    b_e2: jax.Array          # [L, 1, H]
+    w_t1: jax.Array          # [L, H, H]
+    b_t1: jax.Array          # [L, 1, H]
+    w_t2: jax.Array          # [L, H, D]
+    b_t2: jax.Array          # [L, 1, D]
+    w_pd: jax.Array          # [L, D, H]
+    b_pd: jax.Array          # [L, 1, H]
+    w_pe: jax.Array          # [L, D, H]
+    b_pe: jax.Array          # [L, 1, H]
+    w_p: jax.Array           # [L, H, D]
+    b_p: jax.Array           # [L, 1, D]
+    # decoder (final affine may fold force denormalization)
+    wd0: jax.Array           # [D, H]
+    bd0: jax.Array           # [1, H]
+    wd1: jax.Array           # [H, 128] (cols 0-2 live)
+    bd1: jax.Array           # [1, 128]
+
+
+def pack_params(params, cfg, batch_stats=None, force_std=None,
+                force_mean=None, unit: float = 1.0):
+    """Re-pack a GAMDNet flax param tree (gamd_tpu.models.gnn) for the
+    megakernel. If force_std/mean are given, the decoder's last affine
+    absorbs `pred * std + mean` and the `unit` conversion, so the kernel
+    emits forces in the caller's units directly.
+
+    BatchNorm (use_layer_norm=False) folds its eval-mode normalization into
+    the per-feature affine: a = scale/sqrt(var+eps), b = bias - mean*a.
+    """
+    f32 = lambda a: jnp.asarray(a, jnp.float32)
+    row = lambda a: f32(a).reshape(1, -1)
+    h_dim = cfg.hidden_dim
+    n_rbf = cfg.n_rbf if cfg.expand_edge else 0
+
+    w0 = f32(params["edge_encoder_w0"])       # [3+1+n_rbf(+1 bond), H]
+    w_geo = jnp.zeros((8, h_dim), jnp.float32)
+    w_geo = w_geo.at[:4].set(w0[:4])
+    if w0.shape[0] > 4 + n_rbf:               # trailing bond-channel row
+        w_geo = w_geo.at[4].set(w0[4 + n_rbf])
+    w_rbf = jnp.zeros((128, h_dim), jnp.float32)
+    if n_rbf:
+        w_rbf = w_rbf.at[:n_rbf].set(w0[4:4 + n_rbf])
+    centers = np.zeros((1, 128), np.float32)
+    if n_rbf:
+        centers[0, :n_rbf] = np.linspace(cfg.rbf_low, cfg.rbf_high, n_rbf)
+
+    gc = params["graph_conv"]
+    ln_s, ln_b = [], []
+    for layer in range(cfg.conv_layers):
+        norm = gc[f"norm_{layer}"]
+        if cfg.use_layer_norm:
+            ln_s.append(row(norm["scale"]))
+            ln_b.append(row(norm["bias"]))
+        else:
+            stats = batch_stats[f"graph_conv"][f"norm_{layer}"]
+            a = f32(norm["scale"]) / jnp.sqrt(f32(stats["var"]) + 1e-5)
+            ln_s.append(row(a))
+            ln_b.append(row(f32(norm["bias"]) - f32(stats["mean"]) * a))
+
+    def stack(fn):
+        return jnp.stack([fn(gc[f"conv_{l}"]) for l in range(cfg.conv_layers)])
+
+    dec = params["graph_decoder"]
+    wd1 = f32(dec["Dense_1"]["kernel"])       # [H, 3]
+    bd1 = f32(dec["Dense_1"]["bias"])         # [3]
+    if force_std is not None:
+        scale = jnp.asarray(force_std, jnp.float32) * unit
+        wd1 = wd1 * scale
+        bd1 = bd1 * scale + jnp.asarray(force_mean, jnp.float32) * unit
+    wd1_pad = jnp.zeros((h_dim, 128), jnp.float32).at[:, :3].set(wd1)
+    bd1_pad = jnp.zeros((1, 128), jnp.float32).at[0, :3].set(bd1)
+
+    return MegaParams(
+        centers=jnp.asarray(centers),
+        w_geo=w_geo, w_rbf=w_rbf,
+        b0=row(params["edge_encoder_b0"]),
+        w1=f32(params["edge_encoder_w1"]),
+        b1=row(params["edge_encoder_b1"]),
+        w2=f32(params["edge_encoder_w2"]),
+        b2=row(params["edge_encoder_b2"]),
+        eln_s=row(params["edge_ln_scale"]),
+        eln_b=row(params["edge_ln_bias"]),
+        nln_s=jnp.stack(ln_s), nln_b=jnp.stack(ln_b),
+        w_src=stack(lambda c: f32(c["src_affine"]["kernel"])),
+        b_src=stack(lambda c: row(c["src_affine"]["bias"])),
+        w_dst=stack(lambda c: f32(c["dst_affine"]["kernel"])),
+        b_dst=stack(lambda c: row(c["dst_affine"]["bias"])),
+        w_e1=stack(lambda c: f32(c["edge_affine_w1"])),
+        b_e1=stack(lambda c: row(c["edge_affine_b1"])),
+        w_e2=stack(lambda c: f32(c["edge_affine_w2"])),
+        b_e2=stack(lambda c: row(c["edge_affine_b2"])),
+        w_t1=stack(lambda c: f32(c["theta_edge_w1"])),
+        b_t1=stack(lambda c: row(c["theta_edge_b1"])),
+        w_t2=stack(lambda c: f32(c["theta_edge_w2"])),
+        b_t2=stack(lambda c: row(c["theta_edge_b2"])),
+        w_pd=stack(lambda c: f32(c["phi_dst_w"])),
+        b_pd=stack(lambda c: row(c["phi_dst_b"])),
+        w_pe=stack(lambda c: f32(c["phi_edge_w"])),
+        b_pe=stack(lambda c: row(c["phi_edge_b"])),
+        w_p=stack(lambda c: f32(c["phi_w"])),
+        b_p=stack(lambda c: row(c["phi_b"])),
+        wd0=f32(dec["Dense_0"]["kernel"]),
+        bd0=row(dec["Dense_0"]["bias"]),
+        wd1=wd1_pad, bd1=bd1_pad,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Plain-XLA reference over MegaParams: the megakernel's correctness oracle,
+# and the composable building blocks the distributed (halo) GNN force path
+# reuses layer-by-layer (gamd_tpu.parallel.halo_gnn).
+# ---------------------------------------------------------------------------
+
+def encode_edges(mp: MegaParams, unit, std_dist, bond, mlp_act="gelu",
+                 rbf_gap=0.025, exact_act=None):
+    """unit [..,3], std_dist [..], bond [..] or None -> e [.., E]."""
+    act = exact_act or _ACTS[mlp_act]
+    gamma = 1.0 / rbf_gap
+    diff = std_dist[..., None] - mp.centers[0]
+    z = jnp.exp(-gamma * diff * diff) @ mp.w_rbf
+    z = (z + unit[..., 0:1] * mp.w_geo[0:1] + unit[..., 1:2] * mp.w_geo[1:2]
+         + unit[..., 2:3] * mp.w_geo[2:3]
+         + std_dist[..., None] * mp.w_geo[3:4] + mp.b0[0])
+    if bond is not None:
+        z = z + bond[..., None] * mp.w_geo[4:5]
+    z = act(act(z) @ mp.w1 + mp.b1[0]) @ mp.w2 + mp.b2[0]
+    mean = jnp.mean(z, axis=-1, keepdims=True)
+    zc = z - mean
+    var = jnp.mean(zc * zc, axis=-1, keepdims=True)
+    return (zc * jax.lax.rsqrt(var + 1e-6)) * mp.eln_s[0] + mp.eln_b[0]
+
+
+def node_norm(mp: MegaParams, layer, h, use_ln=True):
+    if use_ln:
+        mean = jnp.mean(h, axis=-1, keepdims=True)
+        hc = h - mean
+        var = jnp.mean(hc * hc, axis=-1, keepdims=True)
+        h = hc * jax.lax.rsqrt(var + 1e-6)
+    return h * mp.nln_s[layer, 0] + mp.nln_b[layer, 0]
+
+
+def conv_apply(mp: MegaParams, layer, h_own, hn_own, hn_env, e, idx, mask,
+               conv_act="silu", exact_act=None):
+    """One EdgeGatedConv over a padded list whose indices point into an
+    ENVIRONMENT array (hn_env ⊇ hn_own; equal for single-device)."""
+    act = exact_act or _ACTS[conv_act]
+    lp = lambda a: a[layer]
+    src_env = hn_env @ lp(mp.w_src) + mp.b_src[layer, 0]
+    dst = hn_own @ lp(mp.w_dst) + mp.b_dst[layer, 0]
+    z = act(e @ lp(mp.w_e1) + mp.b_e1[layer, 0]) @ lp(mp.w_e2) \
+        + mp.b_e2[layer, 0]
+    z = z + src_env[idx] + dst[:, None, :]
+    z = act(act(z) @ lp(mp.w_t1) + mp.b_t1[layer, 0]) @ lp(mp.w_t2) \
+        + mp.b_t2[layer, 0]
+    agg = jnp.sum(jnp.where(mask[..., None], hn_env[idx] * z, 0.0), axis=1)
+    pre = hn_own @ lp(mp.w_pd) + mp.b_pd[layer, 0] \
+        + agg @ lp(mp.w_pe) + mp.b_pe[layer, 0]
+    return h_own + act(pre) @ lp(mp.w_p) + mp.b_p[layer, 0]
+
+
+def decode_nodes(mp: MegaParams, h, mlp_act="gelu", exact_act=None):
+    act = exact_act or _ACTS[mlp_act]
+    z = act(h @ mp.wd0 + mp.bd0[0])
+    return (z @ mp.wd1 + mp.bd1[0])[..., :3]
+
+
+def reference_forward(pos, idx, build_mask, h0, mp: MegaParams, box, cutoff,
+                      length_mean, length_std, bond=None, rbf_gap=0.025,
+                      flip_dir=False, use_ln=True, conv_act="silu",
+                      mlp_act="gelu", n_layers=None):
+    """Single-system [N,...] XLA equivalent of mega_forward (fp32, tanh-gelu
+    to match the kernel; see gamd_tpu.models.gnn.GAMDNet for erf-gelu)."""
+    from gamd_tpu.core import space
+
+    nbr = pos[idx]
+    rel = space.min_image(nbr - pos[:, None, :], box)
+    dist = jnp.sqrt(jnp.sum(rel * rel, axis=-1))
+    unit = rel / (dist[..., None] + 1e-8)
+    if flip_dir:
+        unit = -unit
+    std = (dist - length_mean) / length_std
+    mask = build_mask if cutoff is None else (
+        build_mask & (dist * dist < cutoff * cutoff))
+    e = encode_edges(mp, unit, std, bond, mlp_act, rbf_gap)
+    h = h0
+    n_layers = mp.w_src.shape[0] if n_layers is None else n_layers
+    for layer in range(n_layers):
+        hn = node_norm(mp, layer, h, use_ln)
+        h = conv_apply(mp, layer, h, hn, hn, e, idx, mask, conv_act)
+    return decode_nodes(mp, h, mlp_act)
+
+
+def _mega_kernel(scalars_ref, pos_hi_ref, pos_lo_ref, idx_ref, bmask_ref,
+                 h0_ref, bond_ref,
+                 centers_ref, w_geo_ref, w_rbf_ref, b0_ref, w1_ref, b1_ref,
+                 w2_ref, b2_ref, eln_s_ref, eln_b_ref,
+                 nln_s_ref, nln_b_ref, w_src_ref, b_src_ref, w_dst_ref,
+                 b_dst_ref, w_e1_ref, b_e1_ref, w_e2_ref, b_e2_ref,
+                 w_t1_ref, b_t1_ref, w_t2_ref, b_t2_ref,
+                 w_pd_ref, b_pd_ref, w_pe_ref, b_pe_ref, w_p_ref, b_p_ref,
+                 wd0_ref, bd0_ref, wd1_ref, bd1_ref,
+                 out_ref,
+                 e_scr, live_scr, h_scr, agg_scr, nhi_scr, nlo_scr, *,
+                 tile_n: int, k: int, n_pad: int, n_tiles: int, n_rows: int,
+                 n_layers: int, d: int, flip_dir: bool, use_ln: bool,
+                 conv_act: str, mlp_act: str, f32_edges: bool):
+    """scalars: [8] = (box, cutoff^2, length_mean, 1/length_std, rbf_gamma).
+
+    Refs with a leading replica axis (pos/idx/mask/h0/bond/out) arrive
+    already sliced to this grid step's replica by their BlockSpecs.
+    """
+    rows = tile_n * k
+    bf = jnp.bfloat16
+    box = scalars_ref[0]
+    cutoff2 = scalars_ref[1]
+    length_mean = scalars_ref[2]
+    inv_length_std = scalars_ref[3]
+    gamma = scalars_ref[4]
+    cact = _ACTS[conv_act]
+    mact = _ACTS[mlp_act]
+
+    def mm(a, w):
+        if f32_edges:        # logic-verification mode: no bf16 noise
+            return jnp.dot(a, w, preferred_element_type=jnp.float32)
+        return jnp.dot(a.astype(bf), w.astype(bf),
+                       preferred_element_type=jnp.float32)
+
+    def mmf(a, w):
+        # fp32 matmul for the node-level projections and the residual
+        # stream: they are FLOP-trivial ([N, D] x [D, H]) but their error
+        # compounds through `conv_layers` residual additions, so full
+        # precision is nearly free accuracy (the edge pipeline, which owns
+        # ~K x the FLOPs, stays bf16).
+        return jnp.dot(a, w, preferred_element_type=jnp.float32)
+
+    # ---- encoder: per tile, featurize + MLP + LN into e_scr -------------
+    def enc_tile(t, _):
+        r0 = pl.multiple_of(t * rows, rows)
+        a0 = pl.multiple_of(t * tile_n, tile_n)
+        idx_t = idx_ref[pl.ds(a0, tile_n), :]
+        iota = jax.lax.broadcasted_iota(jnp.int32, (tile_n, k, n_pad), 2)
+        onehot = (iota == idx_t[:, :, None]).astype(bf).reshape(rows, n_pad)
+        nbr = (jnp.dot(onehot, pos_hi_ref[:, :],
+                       preferred_element_type=jnp.float32)
+               + jnp.dot(onehot, pos_lo_ref[:, :],
+                         preferred_element_type=jnp.float32))
+        ctr = jnp.repeat(
+            pos_hi_ref[pl.ds(a0, tile_n), :].astype(jnp.float32)
+            + pos_lo_ref[pl.ds(a0, tile_n), :].astype(jnp.float32),
+            k, axis=0)
+        rel = nbr - ctr
+        rel = rel - box * jnp.round(rel / box)
+        rx, ry, rz = rel[:, 0:1], rel[:, 1:2], rel[:, 2:3]
+        d2 = rx * rx + ry * ry + rz * rz
+        dist = jnp.sqrt(d2)
+        inv = 1.0 / (dist + 1e-8)
+        sgn = -1.0 if flip_dir else 1.0
+        ux, uy, uz = sgn * rx * inv, sgn * ry * inv, sgn * rz * inv
+        std = (dist - length_mean) * inv_length_std
+
+        live = jnp.where(
+            (bmask_ref[pl.ds(r0, rows), :] > 0.5) & (d2 < cutoff2), 1.0, 0.0)
+        live_scr[pl.ds(r0, rows), :] = live
+
+        diff = std - centers_ref[0:1, :]
+        rbf = jnp.exp(-gamma * diff * diff)
+        z = mm(rbf, w_rbf_ref[:, :])
+        z = (z + ux * w_geo_ref[0:1, :] + uy * w_geo_ref[1:2, :]
+             + uz * w_geo_ref[2:3, :] + std * w_geo_ref[3:4, :]
+             + bond_ref[pl.ds(r0, rows), :] * w_geo_ref[4:5, :]
+             + b0_ref[0:1, :])
+        z = mact(z)
+        z = mm(z, w1_ref[:, :]) + b1_ref[0:1, :]
+        z = mact(z)
+        z = mm(z, w2_ref[:, :]) + b2_ref[0:1, :]
+        mean = jnp.mean(z, axis=1, keepdims=True)
+        zc = z - mean
+        var = jnp.mean(zc * zc, axis=1, keepdims=True)
+        z = zc * jax.lax.rsqrt(var + 1e-6)
+        z = z * eln_s_ref[0:1, :] + eln_b_ref[0:1, :]
+        e_scr[pl.ds(r0, rows), :] = z.astype(bf)
+        return 0
+
+    jax.lax.fori_loop(0, n_tiles, enc_tile, 0)
+
+    h_scr[:, :] = h0_ref[:, :]
+    nhi_scr[:, :] = jnp.zeros_like(nhi_scr)
+    nlo_scr[:, :] = jnp.zeros_like(nlo_scr)
+
+    # ---- conv layers (unrolled; weights indexed statically) --------------
+    for layer in range(n_layers):
+        h = h_scr[:, :]
+        if use_ln:
+            mean = jnp.mean(h, axis=1, keepdims=True)
+            hc = h - mean
+            var = jnp.mean(hc * hc, axis=1, keepdims=True)
+            hn = hc * jax.lax.rsqrt(var + 1e-6)
+        else:
+            hn = h                                   # BN folded into affine
+        hn = hn * nln_s_ref[layer, :, :] + nln_b_ref[layer, :, :]
+        src = mmf(hn, w_src_ref[layer]) + b_src_ref[layer, :, :]
+        dst = mmf(hn, w_dst_ref[layer]) + b_dst_ref[layer, :, :]
+        nodes = jnp.concatenate([hn, src], axis=1)   # [n_rows, 2D]
+        nhi = nodes.astype(bf)
+        nhi_scr[0:n_rows, :] = nhi
+        nlo_scr[0:n_rows, :] = (nodes - nhi.astype(jnp.float32)).astype(bf)
+
+        def conv_tile(t, _):
+            r0 = pl.multiple_of(t * rows, rows)
+            a0 = pl.multiple_of(t * tile_n, tile_n)
+            idx_t = idx_ref[pl.ds(a0, tile_n), :]
+            iota = jax.lax.broadcasted_iota(jnp.int32, (tile_n, k, n_pad), 2)
+            onehot = (iota == idx_t[:, :, None]).astype(bf).reshape(
+                rows, n_pad)
+            g = (jnp.dot(onehot, nhi_scr[:, :],
+                         preferred_element_type=jnp.float32)
+                 + jnp.dot(onehot, nlo_scr[:, :],
+                           preferred_element_type=jnp.float32))
+            h_src = g[:, :d]
+            src_code = g[:, d:]
+            x = e_scr[pl.ds(r0, rows), :].astype(jnp.float32)
+            z = cact(mm(x, w_e1_ref[layer]) + b_e1_ref[layer, :, :])
+            z = mm(z, w_e2_ref[layer]) + b_e2_ref[layer, :, :]
+            dst_t = jax.lax.dynamic_slice(dst, (t * tile_n, 0),
+                                          (tile_n, dst.shape[1]))
+            z = z + src_code + jnp.repeat(dst_t, k, axis=0)
+            z = cact(mm(cact(z), w_t1_ref[layer]) + b_t1_ref[layer, :, :])
+            m = mm(z, w_t2_ref[layer]) + b_t2_ref[layer, :, :]
+            msg = (m * h_src) * live_scr[pl.ds(r0, rows), :]
+            agg_scr[pl.ds(a0, tile_n), :] = jnp.sum(
+                msg.reshape(tile_n, k, d), axis=1)
+            return 0
+
+        jax.lax.fori_loop(0, n_tiles, conv_tile, 0)
+        agg = agg_scr[:, :]
+        pre = (mmf(hn, w_pd_ref[layer]) + b_pd_ref[layer, :, :]
+               + mmf(agg, w_pe_ref[layer]) + b_pe_ref[layer, :, :])
+        h_scr[:, :] = h + mmf(cact(pre), w_p_ref[layer]) \
+            + b_p_ref[layer, :, :]
+
+    # ---- decoder ---------------------------------------------------------
+    h = h_scr[:, :]
+    z = mact(mmf(h, wd0_ref[:, :]) + bd0_ref[0:1, :])
+    out_ref[:, :] = mmf(z, wd1_ref[:, :]) + bd1_ref[0:1, :]
+
+
+def mega_forward(pos, idx, build_mask, h0, mp: MegaParams, box, cutoff,
+                 length_mean, length_std, bond=None, rbf_gap=0.025,
+                 flip_dir=False, use_ln=True, conv_act="silu",
+                 mlp_act="gelu", tile_n: int = 16, interpret: bool = False,
+                 f32_edges: bool = False):
+    """Run the whole force model in one device program.
+
+    Args:
+        pos:  [N, 3] or [R, N, 3] wrapped positions (R = replicas; each
+              replica is one grid step — the explicit batch dimension).
+        idx:  [N, K] / [R, N, K] padded neighbor ids (build-time lists).
+        build_mask: [N, K] / [R, N, K] bool validity at build time; the
+              kernel intersects it with the true-cutoff test from current
+              positions (set cutoff=None to pass it through unchanged).
+        h0:   [N, D] / [R, N, D] initial node features (LJ: broadcast
+              embedding row; water: node_encoder(one-hot) — constant per
+              system, precomputed).
+        bond: optional [N, K] / [R, N, K] bond channel.
+        mp:   MegaParams from pack_params.
+
+    Returns [N, 3] (or [R, N, 3]) forces in the units folded into mp.
+    """
+    squeeze = pos.ndim == 2
+    if squeeze:
+        pos, idx, build_mask, h0 = (pos[None], idx[None], build_mask[None],
+                                    h0[None])
+        bond = None if bond is None else bond[None]
+    r, n, _ = pos.shape
+    k = idx.shape[2]
+    d = h0.shape[2]
+    h_dim = mp.w1.shape[0]
+    e_dim = mp.w2.shape[1]
+    n_rows_t = _round_up(n, tile_n)
+    n_pad = _round_up(n, 128)
+    n_tiles = n_rows_t // tile_n
+    rows_total = n_rows_t * k
+
+    if n_rows_t != n:
+        pad = n_rows_t - n
+        idx = jnp.pad(idx, ((0, 0), (0, pad), (0, 0)))
+        build_mask = jnp.pad(build_mask, ((0, 0), (0, pad), (0, 0)))
+        h0 = jnp.pad(h0, ((0, 0), (0, pad), (0, 0)))
+        if bond is not None:
+            bond = jnp.pad(bond, ((0, 0), (0, pad), (0, 0)))
+
+    pos_cols = jnp.zeros((r, n_pad, 128), jnp.float32)
+    pos_cols = pos_cols.at[:, :n, :3].set(pos.astype(jnp.float32))
+    pos_hi = pos_cols.astype(jnp.bfloat16)
+    pos_lo = (pos_cols - pos_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+
+    bmask = build_mask.astype(jnp.float32).reshape(r, rows_total, 1)
+    if bond is None:
+        bond_in = jnp.zeros((r, rows_total, 1), jnp.float32)
+    else:
+        bond_in = bond.astype(jnp.float32).reshape(r, rows_total, 1)
+
+    cutoff2 = (jnp.asarray(cutoff, jnp.float32) ** 2 if cutoff is not None
+               else jnp.asarray(jnp.inf, jnp.float32))
+    scalars = jnp.stack([
+        jnp.asarray(box, jnp.float32), cutoff2,
+        jnp.asarray(length_mean, jnp.float32),
+        1.0 / jnp.asarray(length_std, jnp.float32),
+        jnp.asarray(1.0 / rbf_gap, jnp.float32),
+        jnp.zeros(()), jnp.zeros(()), jnp.zeros(()),
+    ])
+
+    kernel = functools.partial(
+        _mega_kernel, tile_n=tile_n, k=k, n_pad=n_pad, n_tiles=n_tiles,
+        n_rows=n_rows_t, n_layers=mp.w_src.shape[0], d=d, flip_dir=flip_dir,
+        use_ln=use_ln, conv_act=conv_act, mlp_act=mlp_act,
+        f32_edges=f32_edges)
+
+    rep = lambda shape: pl.BlockSpec((1,) + shape,
+                                     lambda i, *_: (i,) + (0,) * len(shape),
+                                     memory_space=pltpu.VMEM)
+    full = lambda: pl.BlockSpec(memory_space=pltpu.VMEM)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(r,),
+        in_specs=[
+            rep((n_pad, 128)), rep((n_pad, 128)),       # pos hi/lo
+            rep((n_rows_t, k)),                          # idx
+            rep((rows_total, 1)),                        # build mask
+            rep((n_rows_t, d)),                          # h0
+            rep((rows_total, 1)),                        # bond
+        ] + [full()] * len(MegaParams._fields),
+        out_specs=pl.BlockSpec((1, n_rows_t, 128),
+                               lambda i, *_: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((rows_total, e_dim), jnp.bfloat16),   # e
+            pltpu.VMEM((rows_total, 1), jnp.float32),        # live mask
+            pltpu.VMEM((n_rows_t, d), jnp.float32),          # h
+            pltpu.VMEM((n_rows_t, d), jnp.float32),          # agg
+            pltpu.VMEM((n_pad, 2 * d), jnp.bfloat16),        # nodes hi
+            pltpu.VMEM((n_pad, 2 * d), jnp.bfloat16),        # nodes lo
+        ],
+    )
+
+    out = pl.pallas_call(
+        _reshape_wrapper(kernel),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((r, n_rows_t, 128), jnp.float32),
+        interpret=interpret,
+    )(scalars, pos_hi, pos_lo, idx.astype(jnp.int32), bmask, h0, bond_in,
+      *mp)
+    forces = out[:, :n, :3]
+    return forces[0] if squeeze else forces
+
+
+def _reshape_wrapper(kernel):
+    """Drop the leading size-1 replica axis the per-replica BlockSpecs give
+    the first six tensor refs and the output ref."""
+
+    def wrapped(scalars_ref, pos_hi, pos_lo, idx, bmask, h0, bond,
+                *rest):
+        weights = rest[:-7]
+        out_ref = rest[-7]
+        scratch = rest[-6:]
+        kernel(scalars_ref, pos_hi.at[0], pos_lo.at[0], idx.at[0],
+               bmask.at[0], h0.at[0], bond.at[0], *weights, out_ref.at[0],
+               *scratch)
+
+    return wrapped

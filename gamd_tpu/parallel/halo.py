@@ -43,6 +43,10 @@ class SlabState(NamedTuple):
     valid: jnp.ndarray      # [P*C] bool — real atom vs padding
     left_idx: jnp.ndarray   # [P*Hs] local indices of left-boundary strip
     right_idx: jnp.ndarray  # [P*Hs]
+    left_val: jnp.ndarray   # [P*Hs] bool — strip slot holds a NEAR-boundary
+    right_val: jnp.ndarray  # [P*Hs]   atom (underfull strips pad with
+                            #          arbitrary slab atoms; these masks make
+                            #          the filler slots inert by construction)
     left_n: jnp.ndarray     # [P] strip occupancies (per-slab scalars)
     right_n: jnp.ndarray    # [P]
     rng: jnp.ndarray
@@ -88,16 +92,20 @@ def sort_into_slabs(pos, vel, box, n_slabs, capacity, halo_width,
         score = jnp.where(near, 1.0, 0.0)
         v, idx = jax.lax.top_k(score, strip_capacity)       # [P, Hs]
         count = jnp.sum(near, axis=1)
-        return idx.astype(jnp.int32), count.astype(jnp.int32), \
+        # top_k sorts descending, so the first `count` slots are the near
+        # atoms; later slots are arbitrary fillers and must be masked out.
+        slot_ok = jnp.arange(strip_capacity)[None, :] < count[:, None]
+        return idx.astype(jnp.int32), slot_ok, count.astype(jnp.int32), \
             jnp.any(count > strip_capacity)
 
-    left_idx, left_n, ovf_l = strips(near_left)
-    right_idx, right_n, ovf_r = strips(near_right)
+    left_idx, left_val, left_n, ovf_l = strips(near_left)
+    right_idx, right_val, right_n, ovf_r = strips(near_right)
 
     return SlabState(
         pos=pos_b.reshape(-1, 3), vel=vel_b.reshape(-1, 3),
         valid=val_b.reshape(-1),
         left_idx=left_idx.reshape(-1), right_idx=right_idx.reshape(-1),
+        left_val=left_val.reshape(-1), right_val=right_val.reshape(-1),
         left_n=left_n, right_n=right_n, rng=rng,
         overflow=slab_overflow | ovf_l | ovf_r)
 
@@ -147,7 +155,8 @@ def make_halo_lj_step(mesh: Mesh, n_atoms: int, box: float, n_slabs: int,
         coef = jnp.where(ok, 2.0 * du_dr2, 0.0)
         return jnp.sum(coef[:, :, None] * dr, axis=1)
 
-    def local_chunk(pos_l, vel_l, valid_l, lidx, ridx, rng, n_steps):
+    def local_chunk(pos_l, vel_l, valid_l, lidx, ridx, lval, rval, rng,
+                    n_steps):
         """One slab's chunk; strips ppermuted every step."""
         me = jax.lax.axis_index(axis)
         left = [(i, (i - 1) % n_slabs) for i in range(n_slabs)]
@@ -156,11 +165,13 @@ def make_halo_lj_step(mesh: Mesh, n_atoms: int, box: float, n_slabs: int,
         noise = jax.random.normal(rng_local, (n_steps,) + pos_l.shape)
 
         def exchange(p, v_mask):
-            """Send my strips; receive neighbors' strips as halo."""
+            """Send my strips; receive neighbors' strips as halo. Strip
+            validity is (valid & near-boundary) so underfull-strip filler
+            slots are inert even if a future change moves them closer."""
             send_l = p[lidx]
-            send_l_valid = v_mask[lidx]
+            send_l_valid = v_mask[lidx] & lval
             send_r = p[ridx]
-            send_r_valid = v_mask[ridx]
+            send_r_valid = v_mask[ridx] & rval
             # my right strip -> right neighbor's left halo
             halo_from_left = jax.lax.ppermute(send_r, axis, right)
             halo_from_left_ok = jax.lax.ppermute(send_r_valid, axis, right)
@@ -200,10 +211,12 @@ def make_halo_lj_step(mesh: Mesh, n_atoms: int, box: float, n_slabs: int,
         rng, k_noise = jax.random.split(state.rng)
         mapped = shard_map(
             partial(local_chunk, n_steps=n_steps), mesh=mesh,
-            in_specs=(spec3, spec3, P(axis), P(axis), P(axis), P()),
+            in_specs=(spec3, spec3, P(axis), P(axis), P(axis), P(axis),
+                      P(axis), P()),
             out_specs=(spec3, spec3))
         pos, vel = mapped(state.pos, state.vel, state.valid,
-                          state.left_idx, state.right_idx, k_noise)
+                          state.left_idx, state.right_idx,
+                          state.left_val, state.right_val, k_noise)
         return state._replace(pos=pos, vel=vel, rng=rng)
 
     return resort_fn, chunk_fn
@@ -236,7 +249,9 @@ def run_halo_md(mesh, pos, box, n_steps, chunk_steps, n_slabs, capacity,
             vel=jax.device_put(state.vel, blk),
             valid=jax.device_put(state.valid, blk),
             left_idx=jax.device_put(state.left_idx, blk),
-            right_idx=jax.device_put(state.right_idx, blk))
+            right_idx=jax.device_put(state.right_idx, blk),
+            left_val=jax.device_put(state.left_val, blk),
+            right_val=jax.device_put(state.right_val, blk))
         steps = min(chunk_steps, n_steps - done)
         state = chunk_fn(state, steps)
         done += steps

@@ -31,6 +31,7 @@ class GNNForceField:
     def __init__(self, state: TrainState, system: SystemConfig,
                  model_cfg: ModelConfig):
         self.system = system
+        self.model_cfg = model_cfg
         self.model = build_model(model_cfg, system)
         self.params = state.params
         self.batch_stats = state.batch_stats
@@ -54,14 +55,68 @@ class GNNForceField:
             node_feat=self._feat, bond=bond, train=False)
         return pred[0]
 
-    def force_fn(self):
+    def force_fn(self, megakernel: bool = False, tile_n: int = 16,
+                 interpret: bool = False):
         """(pos, idx, mask) -> force in internal units (kJ/mol/A), for
-        gamd_tpu.md.simulate.Simulation."""
+        gamd_tpu.md.simulate.Simulation.
+
+        megakernel=True returns the whole-model Pallas path
+        (ops.pallas_model): ONE device program from positions to forces,
+        with the true-cutoff mask refresh folded in (the closure carries
+        handles_refresh=True so the MD driver passes the raw build-time
+        mask) and the force denormalization folded into the decoder
+        weights.
+        """
         unit = self.system.force_unit_to_internal
+        if megakernel:
+            return self._megakernel_force_fn(unit, tile_n, interpret)
 
         def fn(pos, idx, mask):
             pred = self._forward(pos, idx, mask, self.system.box)
             return denormalize(pred, self.force_stat) * unit
+        return fn
+
+    def _node_h0(self):
+        """Initial node features [N, D]: the LJ broadcast embedding or the
+        water node encoder applied to the (constant) one-hot species."""
+        cfg = self.model_cfg
+        n = self.system.n_atoms
+        if self.model.species == "lj":
+            return jnp.broadcast_to(self.params["node_emb"],
+                                    (n, cfg.encoding_size))
+        enc = self.params["node_encoder"]
+        return (self._feat[0] @ enc["kernel"] + enc["bias"])
+
+    def _megakernel_force_fn(self, unit, tile_n, interpret):
+        from gamd_tpu.ops.pallas_model import mega_forward, pack_params
+
+        cfg = self.model_cfg
+        system = self.system
+        if system.box is None or not cfg.expand_edge or cfg.update_edge:
+            raise ValueError("megakernel path requires a fixed scalar box, "
+                             "expand_edge=True, update_edge=False")
+        mp = pack_params(self.params, cfg, batch_stats=self.batch_stats,
+                         force_std=jnp.maximum(self.force_stat.std, 1e-12),
+                         force_mean=self.force_stat.safe_mean, unit=unit)
+        h0 = self._node_h0()
+        length_mean = self.length_stat.safe_mean
+        length_std = jnp.maximum(self.length_stat.std, 1e-12)
+        use_bond = self.model.use_bond
+        if use_bond:
+            from gamd_tpu.neighbors.topology import neighbor_bond_channel
+
+        def fn(pos, idx, mask):
+            bond = neighbor_bond_channel(idx) if use_bond else None
+            h0_b = jnp.broadcast_to(h0, pos.shape[:-2] + h0.shape) \
+                if pos.ndim == 3 else h0
+            return mega_forward(
+                pos, idx, mask, h0_b, mp, system.box, system.cutoff,
+                length_mean, length_std, bond=bond, rbf_gap=cfg.rbf_gap,
+                flip_dir=cfg.flip_dir, use_ln=cfg.use_layer_norm,
+                conv_act=cfg.conv_activation, mlp_act=cfg.mlp_activation,
+                tile_n=tile_n, interpret=interpret)
+
+        fn.handles_refresh = True     # in-kernel true-cutoff mask refresh
         return fn
 
     def predict(self, pos, box=None):

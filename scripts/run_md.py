@@ -49,6 +49,8 @@ def main():
                              " vs BatchNorm (--no-use_layer_norm)")
     parser.add_argument("--use_pallas", action="store_true",
                         help="fused Pallas kernels for the force model")
+    parser.add_argument("--megakernel", action="store_true",
+                        help="whole-model Pallas megakernel (fastest path)")
     parser.add_argument("--rigid", default=True,
                         action=argparse.BooleanOptionalAction,
                         help="water systems: SETTLE rigid-monomer rollout "
@@ -120,7 +122,8 @@ def main():
         rebuild_every=args.rebuild_every, report_every=args.report_every,
         seed=args.seed)
 
-    sim = Simulation(ff.force_fn(), system, md, constraint=constraint)
+    sim = Simulation(ff.force_fn(megakernel=args.megakernel), system, md,
+                     constraint=constraint)
     st = sim.init_state(jnp.asarray(pos), rng=jax.random.PRNGKey(args.seed))
 
     print(f"Simulating {system.n_atoms} atoms, {args.steps} steps "

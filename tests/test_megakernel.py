@@ -1,0 +1,212 @@
+"""Whole-model megakernel (ops.pallas_model) parity tests, interpret mode.
+
+The kernel's bf16 edge pipeline sets the noise floor: tolerances follow the
+measured deviation of the round-1 production kernel (fused_conv_gather_
+message), which this kernel replaces and slightly beats on accuracy (node
+stream is fp32 here).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from gamd_tpu.core.config import ModelConfig, TrainConfig, get_preset
+from gamd_tpu.models.gnn import GAMDNet
+from gamd_tpu.neighbors.dense import dense_neighbor_list, refresh_mask
+from gamd_tpu.neighbors.topology import neighbor_bond_channel
+from gamd_tpu.ops.pallas_model import MegaParams, mega_forward, pack_params
+
+BOX = 12.0
+
+
+def _setup(cfg, species="lj", n=64, k=16, cutoff=5.0, seed=0,
+           use_bond=False, train_bn=False):
+    model = GAMDNet(cfg=cfg, species=species, use_bond=use_bond)
+    rng = np.random.RandomState(seed)
+    pos = jnp.asarray(rng.uniform(0, BOX, (n, 3)).astype(np.float32))
+    idx, mask, _ = dense_neighbor_list(pos, BOX, cutoff, k)
+    feat = None
+    bond = None
+    if species == "water":
+        feat = jnp.asarray((np.arange(n) % 3 == 0).astype(np.float32))[:,
+                                                                       None]
+    if use_bond:
+        bond = neighbor_bond_channel(idx)
+    variables = model.init(jax.random.PRNGKey(seed), pos[None], idx[None],
+                           mask[None], BOX, 0.5, 2.0,
+                           node_feat=None if feat is None else feat[None],
+                           bond=None if bond is None else bond[None],
+                           train=False)
+    return model, variables, pos, idx, mask, feat, bond
+
+
+def _h0(params, cfg, species, feat, n):
+    if species == "lj":
+        return jnp.broadcast_to(params["node_emb"], (n, cfg.encoding_size))
+    enc = params["node_encoder"]
+    return feat @ enc["kernel"] + enc["bias"]
+
+
+def _xla(model, variables, pos, idx, mask, feat, bond):
+    return model.apply(
+        variables, pos[None], idx[None], mask[None], BOX, 0.5, 2.0,
+        node_feat=None if feat is None else feat[None],
+        bond=None if bond is None else bond[None], train=False)[0]
+
+
+def test_megakernel_lj_layernorm_parity():
+    cfg = ModelConfig(use_layer_norm=True)
+    model, variables, pos, idx, mask, feat, bond = _setup(cfg)
+    ref = _xla(model, variables, pos, idx, mask, feat, bond)
+    mp = pack_params(variables["params"], cfg)
+    out = mega_forward(pos, idx, mask,
+                       _h0(variables["params"], cfg, "lj", feat, 64),
+                       mp, BOX, None, 0.5, 2.0, tile_n=8, interpret=True)
+    err = jnp.abs(out - ref)
+    scale = float(jnp.abs(ref).std())
+    assert float(err.max()) < 0.03 * scale
+    assert float(err.mean()) < 0.01 * scale
+
+
+def test_megakernel_logic_exact_in_f32():
+    """f32_edges mode removes the bf16 noise floor: any remaining deviation
+    is logic, not precision (tanh-gelu vs erf-gelu stays, ~1e-3)."""
+    cfg = ModelConfig(use_layer_norm=True)
+    model, variables, pos, idx, mask, feat, bond = _setup(cfg, seed=7)
+    ref = _xla(model, variables, pos, idx, mask, feat, bond)
+    mp = pack_params(variables["params"], cfg)
+    out = mega_forward(pos, idx, mask,
+                       _h0(variables["params"], cfg, "lj", feat, 64),
+                       mp, BOX, None, 0.5, 2.0, tile_n=8, interpret=True,
+                       f32_edges=True)
+    err = jnp.abs(out - ref)
+    assert float(err.max()) < 5e-3 * float(jnp.abs(ref).std())
+
+
+def test_megakernel_water_bond_batchnorm_parity():
+    """Water variant: one-hot node encoder + bond channel + BatchNorm
+    (eval-mode running stats folded into the per-feature affine). Run in
+    f32_edges mode: an untrained BN-at-eval model amplifies magnitudes
+    ~1e8x, so the bf16 floor would swamp the logic check."""
+    cfg = ModelConfig(use_layer_norm=False)
+    model, variables, pos, idx, mask, feat, bond = _setup(
+        cfg, species="water", n=66, k=16, seed=1, use_bond=True)
+    params = variables["params"]
+    # Make running stats non-trivial so the fold is actually exercised.
+    batch_stats = jax.tree.map(
+        lambda x: x + jnp.linspace(0.1, 0.5, x.shape[-1]),
+        variables["batch_stats"])
+    variables = {"params": params, "batch_stats": batch_stats}
+    ref = _xla(model, variables, pos, idx, mask, feat, bond)
+    mp = pack_params(params, cfg, batch_stats=batch_stats)
+    out = mega_forward(pos, idx, mask,
+                       _h0(params, cfg, "water", feat, 66),
+                       mp, BOX, None, 0.5, 2.0, bond=bond,
+                       use_ln=False, tile_n=8, interpret=True,
+                       f32_edges=True)
+    err = jnp.abs(out - ref)
+    scale = float(jnp.abs(ref).std())
+    assert float(err.max()) < 5e-3 * scale
+
+
+def test_megakernel_water_bond_bf16_floor():
+    """bf16 production mode on the water/bond/LayerNorm variant stays at
+    the same noise floor as the round-1 production kernel (~few % of the
+    output scale on an untrained net; trained nets are far smoother)."""
+    cfg = ModelConfig(use_layer_norm=True)
+    model, variables, pos, idx, mask, feat, bond = _setup(
+        cfg, species="water", n=66, k=16, seed=1, use_bond=True)
+    ref = _xla(model, variables, pos, idx, mask, feat, bond)
+    mp = pack_params(variables["params"], cfg)
+    out = mega_forward(pos, idx, mask,
+                       _h0(variables["params"], cfg, "water", feat, 66),
+                       mp, BOX, None, 0.5, 2.0, bond=bond,
+                       use_ln=True, tile_n=8, interpret=True)
+    err = jnp.abs(out - ref)
+    scale = float(jnp.abs(ref).std())
+    assert float(err.max()) < 0.08 * scale
+    assert float(err.mean()) < 0.03 * scale
+
+
+def test_megakernel_in_kernel_mask_refresh():
+    """cutoff=<r> reproduces XLA refresh_mask + forward on a stale list."""
+    cfg = ModelConfig(use_layer_norm=True)
+    model, variables, pos, idx, mask, feat, bond = _setup(
+        cfg, cutoff=5.0, seed=2)
+    # Perturb positions so some build-time neighbors leave the true cutoff.
+    pos2 = pos + 0.35 * jnp.asarray(
+        np.random.RandomState(3).randn(*pos.shape).astype(np.float32))
+    pos2 = jnp.mod(pos2, BOX)
+    live = refresh_mask(pos2, BOX, 4.2, idx, mask)
+    ref = _xla(model, variables, pos2, idx, live, feat, bond)
+    mp = pack_params(variables["params"], cfg)
+    out = mega_forward(pos2, idx, mask,
+                       _h0(variables["params"], cfg, "lj", feat, 64),
+                       mp, BOX, 4.2, 0.5, 2.0, tile_n=8, interpret=True)
+    err = jnp.abs(out - ref)
+    assert float(err.max()) < 0.03 * float(jnp.abs(ref).std())
+
+
+def test_megakernel_replica_axis():
+    """The explicit replica grid dimension matches per-replica calls."""
+    cfg = ModelConfig(use_layer_norm=True)
+    model, variables, pos, idx, mask, feat, bond = _setup(cfg, seed=4)
+    mp = pack_params(variables["params"], cfg)
+    h0 = _h0(variables["params"], cfg, "lj", feat, 64)
+    pos2 = jnp.mod(pos + 1.7, BOX)
+    idx2, mask2, _ = dense_neighbor_list(pos2, BOX, 5.0, 16)
+    pos_r = jnp.stack([pos, pos2])
+    idx_r = jnp.stack([idx, idx2])
+    mask_r = jnp.stack([mask, mask2])
+    h0_r = jnp.broadcast_to(h0, (2,) + h0.shape)
+    out_r = mega_forward(pos_r, idx_r, mask_r, h0_r, mp, BOX, None,
+                         0.5, 2.0, tile_n=8, interpret=True)
+    for i, (p, ii, mm) in enumerate([(pos, idx, mask), (pos2, idx2, mask2)]):
+        one = mega_forward(p, ii, mm, h0, mp, BOX, None, 0.5, 2.0,
+                           tile_n=8, interpret=True)
+        np.testing.assert_allclose(np.asarray(out_r[i]), np.asarray(one),
+                                   atol=1e-5)
+
+
+def test_megakernel_denorm_folding():
+    """force_std/mean + unit folded into the decoder affine."""
+    cfg = ModelConfig(use_layer_norm=True)
+    model, variables, pos, idx, mask, feat, bond = _setup(cfg, seed=5)
+    params = variables["params"]
+    h0 = _h0(params, cfg, "lj", feat, 64)
+    base = mega_forward(pos, idx, mask, h0, pack_params(params, cfg),
+                        BOX, None, 0.5, 2.0, tile_n=8, interpret=True)
+    folded = mega_forward(
+        pos, idx, mask, h0,
+        pack_params(params, cfg, force_std=3.0, force_mean=0.25, unit=2.0),
+        BOX, None, 0.5, 2.0, tile_n=8, interpret=True)
+    np.testing.assert_allclose(np.asarray(folded),
+                               np.asarray(base * 3.0 * 2.0 + 0.25 * 2.0),
+                               rtol=1e-4, atol=2e-3)
+
+
+def test_forcefield_megakernel_closure():
+    """GNNForceField.force_fn(megakernel=True) matches the XLA force_fn
+    through the Simulation-facing (pos, idx, mask) interface."""
+    from gamd_tpu.train.forcefield import GNNForceField
+    from gamd_tpu.train.state import build_model, create_train_state
+
+    system = get_preset("lj", n_atoms=64, box=BOX, cutoff=4.2,
+                        nbr_capacity=16, skin=0.8)
+    cfg = ModelConfig(use_layer_norm=True)
+    model = build_model(cfg, system)
+    state = create_train_state(model, system, TrainConfig(), 1)
+    ff = GNNForceField(state, system, cfg)
+
+    rng = np.random.RandomState(6)
+    pos = jnp.asarray(rng.uniform(0, BOX, (64, 3)).astype(np.float32))
+    idx, mask, _ = dense_neighbor_list(pos, BOX,
+                                       system.cutoff + system.skin, 16)
+    live = refresh_mask(pos, BOX, system.cutoff, idx, mask)
+    ref = ff.force_fn()(pos, idx, live)
+    fn = ff.force_fn(megakernel=True, tile_n=8, interpret=True)
+    assert fn.handles_refresh
+    out = fn(pos, idx, mask)     # raw build mask: kernel refreshes itself
+    err = jnp.abs(out - ref)
+    assert float(err.max()) < 0.08 * float(jnp.abs(ref).std() + 1e-9)
