@@ -164,6 +164,98 @@ def generate_water_dataset(out_dir, seeds=10, frames_per_seed=1000,
     return out_dir
 
 
+def generate_rpbe_surrogate(out_path, n_molecules=64, frames_per_box=1000,
+                            record_interval=50, box_sizes=None,
+                            equil_steps=2000, minimize_steps=2000,
+                            test_fraction=0.1, seed=0, rigid=True,
+                            frames_per_dispatch=250, log_every_frames=250):
+    """Surrogate for the reference's RPBE/DFT dataset (dynamic-box model).
+
+    The real data (Cheng et al. PNAS, used by
+    /root/reference/code/water/train_network_real_large.py:71-371 via
+    train_utils.py:117-163) is not obtainable in this offline environment,
+    so this produces a stand-in with the same CONTRACT: one npz with
+    pos [M,N,3] (bohr), force [M,N,3] (Hartree/bohr), box [M] per-frame box
+    edges (bohr, varying frame to frame), atom_type [M,N] (1 = O), and
+    train_idx/test_idx splits — 64 rigid-water molecules simulated at
+    several densities so the per-sample traced-box path is genuinely
+    exercised. Model-accuracy numbers on this surrogate validate the
+    dynamic-box pipeline, not the published RPBE figures (RESULTS.md states
+    the non-comparability).
+    """
+    from gamd_tpu.physics import water as w
+
+    n_atoms = 3 * n_molecules
+    if box_sizes is None:
+        # liquid density +-3%: V = n * M_w / (rho * N_A)
+        base = (n_molecules * 18.015 / (0.998 * 6.02214e23)) ** (1 / 3) \
+            * 1e8  # cm -> angstrom
+        box_sizes = [base * 0.97, base * 1.0, base * 1.03]
+
+    all_pos, all_force, all_box = [], [], []
+    for b_i, box in enumerate(box_sizes):
+        box = float(box)
+        params = w.TIP3PParams(cutoff=min(6.0, box / 2 - 0.01))
+        system = get_preset("tip3p", n_atoms=n_atoms, box=box,
+                            cutoff=min(6.0, box / 2 - 0.01))
+        constraint = RigidWater(n_molecules, box,
+                                tip3p_rigid_params(params.r_oh,
+                                                   params.theta0)) if rigid \
+            else None
+        md = MDConfig(integrator="nose_hoover", temperature=300.0,
+                      dt_fs=2.0 if rigid else 0.5, friction_per_ps=1.0,
+                      chain_length=10, chain_mts=5, chain_ys=5,
+                      rebuild_every=10)
+        sim = Simulation(w.tip3p_force_fn(box, params, rigid=rigid),
+                         system, md, constraint=constraint)
+        fwd = w.tip3p_forces_rigid if rigid else w.tip3p_forces
+        record_force = jax.jit(lambda p, box=box, params=params:
+                               fwd(p, box, params))
+        minimize_force = jax.jit(lambda p, box=box, params=params:
+                                 w.tip3p_forces(p, box, params))
+
+        pos = w.water_box(n_molecules, box, params, seed=seed + b_i)
+        pos, _ = fire_minimize(minimize_force, jnp.asarray(pos),
+                               n_steps=minimize_steps, max_step=0.05)
+        if constraint is not None:
+            pos = constraint.project_initial(pos)
+        state = sim.init_state(pos, rng=jax.random.PRNGKey(4000 + b_i))
+        if equil_steps:
+            state = sim.run(state, equil_steps).state
+
+        t = 0
+        while t < frames_per_box:
+            n_f = min(frames_per_dispatch, frames_per_box - t)
+            state, ovf, pos_f, _, force_f, temp = sim.run_recorded(
+                state, n_f, record_interval, record_force)
+            if bool(ovf):
+                raise RuntimeError("neighbor capacity overflow")
+            all_pos.append(np.asarray(pos_f, np.float32))
+            all_force.append(np.asarray(force_f, np.float32))
+            all_box.append(np.full((n_f,), box, np.float32))
+            t += n_f
+            if log_every_frames:
+                print(f"box {box:.2f} A: frame {t}/{frames_per_box} "
+                      f"T={float(temp[-1]):.1f}K", flush=True)
+
+    pos = np.concatenate(all_pos) / units.BOHR_TO_ANGSTROM
+    # kJ/mol/A -> Hartree/bohr
+    force = (np.concatenate(all_force)
+             * (units.BOHR_TO_ANGSTROM / units.HARTREE_TO_KJ_MOL))
+    box_arr = np.concatenate(all_box) / units.BOHR_TO_ANGSTROM
+    atom_type = np.tile(np.tile([1, 2, 2], n_molecules)[None, :],
+                        (pos.shape[0], 1)).astype(np.int32)
+
+    m = pos.shape[0]
+    order = np.random.RandomState(seed).permutation(m)
+    n_test = max(1, int(m * test_fraction))
+    np.savez(out_path, pos=pos.astype(np.float32),
+             force=force.astype(np.float32), box=box_arr,
+             atom_type=atom_type,
+             train_idx=order[n_test:], test_idx=order[:n_test])
+    return out_path
+
+
 def generate_tip4p_dataset(out_dir, seeds=10, frames_per_seed=1000,
                            record_interval=50, n_molecules=251,
                            minimize_steps=3000, dt_fs=None, rigid=True,

@@ -30,13 +30,15 @@ def main():
     n_steps = int(sys.argv[2]) if len(sys.argv) > 2 else 500
 
     system = get_preset("lj", skin=0.5, nbr_capacity=64)
-    model_cfg = lj_model_config(use_pallas=True)
+    model_cfg = lj_model_config()
     state = create_train_state(build_model(model_cfg, system), system,
                                TrainConfig(), 1, rng=jax.random.PRNGKey(0))
     ff = GNNForceField(state, system, model_cfg)
     md = MDConfig(integrator="langevin", temperature=system.temperature,
                   rebuild_every=20)
-    sim = Simulation(ff.force_fn(), system, md)
+    # Megakernel with the explicit replica grid dimension (round 1's vmap
+    # lowering collapsed to ~208 steps/s/replica).
+    sim = Simulation(ff.force_fn(megakernel=True), system, md)
     _, pos0 = lj.lj_fluid_box(system.n_atoms, 0.5)
 
     states = sim.init_replicas(jnp.asarray(pos0), n_replicas,

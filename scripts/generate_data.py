@@ -16,7 +16,8 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 def main():
     parser = argparse.ArgumentParser()
-    parser.add_argument("--system", default="lj", choices=["lj", "tip3p", "tip4p"])
+    parser.add_argument("--system", default="lj",
+                        choices=["lj", "tip3p", "tip4p", "rpbe"])
     parser.add_argument("--out", default="./md_dataset/lj_data")
     parser.add_argument("--seeds", default=10, type=int)
     parser.add_argument("--frames", default=1000, type=int)
@@ -29,6 +30,14 @@ def main():
                         help="frames recorded per device program")
     args = parser.parse_args()
 
+    if args.system == "rpbe":
+        from gamd_tpu.physics.generate import generate_rpbe_surrogate
+        generate_rpbe_surrogate(args.out, frames_per_box=args.frames,
+                                record_interval=args.interval,
+                                rigid=not args.flexible,
+                                frames_per_dispatch=args.dispatch_frames)
+        print(f"Wrote RPBE surrogate npz to {args.out}")
+        return
     if args.system == "lj":
         from gamd_tpu.physics.generate import generate_lj_dataset
         generate_lj_dataset(args.out, seeds=args.seeds,

@@ -218,6 +218,34 @@ def test_run_recorded_matches_stepwise_run():
         st = sim.run(st, 10).state
 
 
+def test_generate_rpbe_surrogate_smoke(tmp_path):
+    """Tiny surrogate: RealLargeDataset-compatible npz in bohr/Hartree."""
+    from gamd_tpu.physics.generate import generate_rpbe_surrogate
+    from gamd_tpu.train.data import RealLargeDataset
+
+    out = str(tmp_path / "rpbe.npz")
+    generate_rpbe_surrogate(out, n_molecules=8, frames_per_box=2,
+                            record_interval=5, box_sizes=[8.0, 8.4],
+                            equil_steps=5, minimize_steps=30,
+                            log_every_frames=0, frames_per_dispatch=2)
+    z = np.load(out)
+    assert z["pos"].shape == (4, 24, 3)
+    assert z["force"].shape == (4, 24, 3)
+    assert z["box"].shape == (4,)
+    assert set(np.unique(z["atom_type"])) == {1, 2}
+    # box edges stored in bohr
+    np.testing.assert_allclose(sorted(set(np.round(z["box"], 3))),
+                               sorted({round(8.0 / 0.52917721067, 3),
+                                       round(8.4 / 0.52917721067, 3)}),
+                               atol=1e-2)
+    ds = RealLargeDataset(out, mode="train")
+    item = ds[0]
+    assert item["pos"].shape == (24, 3)
+    assert item["feat"].sum() == 8              # one O per molecule
+    ds_t = RealLargeDataset(out, mode="test")
+    assert len(ds) + len(ds_t) == 4
+
+
 def test_generate_rigid_water_smoke(tmp_path):
     """End-to-end tiny rigid generation: files exist, forces are the rigid
     nonbonded forces, molecules satisfy constraints."""

@@ -186,6 +186,44 @@ def test_megakernel_denorm_folding():
                                rtol=1e-4, atol=2e-3)
 
 
+def test_simulation_megakernel_short_md():
+    """A few fused MD steps through the megakernel force path track the XLA
+    path from the same start (same noise stream; bf16 force noise only)."""
+    from gamd_tpu.core.config import MDConfig
+    from gamd_tpu.md.simulate import Simulation
+    from gamd_tpu.train.forcefield import GNNForceField
+    from gamd_tpu.train.state import build_model, create_train_state
+
+    system = get_preset("lj", n_atoms=64, box=BOX, cutoff=4.2,
+                        nbr_capacity=16, skin=0.8)
+    cfg = ModelConfig(use_layer_norm=True)
+    model = build_model(cfg, system)
+    state = create_train_state(model, system, TrainConfig(), 1)
+    ff = GNNForceField(state, system, cfg)
+    md = MDConfig(integrator="langevin", temperature=100.0, dt_fs=2.0,
+                  friction_per_ps=25.0, rebuild_every=5)
+
+    rng = np.random.RandomState(8)
+    pos = jnp.asarray(rng.uniform(0, BOX, (64, 3)).astype(np.float32))
+
+    sim_x = Simulation(ff.force_fn(), system, md)
+    sim_m = Simulation(ff.force_fn(megakernel=True, tile_n=8,
+                                   interpret=True), system, md)
+    st_x = sim_x.init_state(pos, rng=jax.random.PRNGKey(3))
+    st_m = sim_m.init_state(pos, rng=jax.random.PRNGKey(3))
+    r_x = sim_x.run(st_x, 5)
+    r_m = sim_m.run(st_m, 5)
+    np.testing.assert_allclose(np.asarray(r_m.state.pos),
+                               np.asarray(r_x.state.pos), atol=5e-3)
+
+    # Batched replicas through the explicit replica grid dimension.
+    states = sim_m.init_replicas(pos, 2, rng=jax.random.PRNGKey(4))
+    rr = sim_m.run_replicas(states, 5)
+    assert rr.state.pos.shape == (2, 64, 3)
+    assert rr.thermo.temperature.shape == (2, 5)
+    assert bool(jnp.isfinite(rr.state.pos).all())
+
+
 def test_forcefield_megakernel_closure():
     """GNNForceField.force_fn(megakernel=True) matches the XLA force_fn
     through the Simulation-facing (pos, idx, mask) interface."""
