@@ -1,0 +1,103 @@
+#!/usr/bin/env python
+"""On-device Pallas-vs-XLA force parity smoke test.
+
+The unit suite exercises every kernel in interpret mode on CPU; this script
+closes the remaining hole by running the real compiled kernels on whatever
+device JAX selects (the TPU in this environment) and asserting the forces
+agree with the plain-XLA model within the bf16 noise floor.
+
+Checks, each on the 258-atom LJ system with random-but-sane inputs:
+  1. conv kernel 4 (fused_conv_gather_message) model path vs XLA
+  2. fused encoder kernel vs XLA featurization
+  3. whole-model megakernel (incl. in-kernel mask refresh + denorm folding)
+  4. megakernel replica axis consistency (R=4 grid vs per-replica calls)
+
+Exit code 0 = all pass. Run via the verify skill after kernel changes.
+"""
+
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import numpy as np
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from gamd_tpu.core.config import TrainConfig, get_preset, lj_model_config
+    from gamd_tpu.neighbors.dense import dense_neighbor_list, refresh_mask
+    from gamd_tpu.train.forcefield import GNNForceField
+    from gamd_tpu.train.state import build_model, create_train_state
+
+    print(f"backend: {jax.devices()[0].platform} ({jax.devices()[0]})",
+          flush=True)
+    system = get_preset("lj", skin=0.5, nbr_capacity=64)
+    cfg_x = lj_model_config()
+    state = create_train_state(build_model(cfg_x, system), system,
+                               TrainConfig(), 1, rng=jax.random.PRNGKey(0))
+
+    from gamd_tpu.physics import lennard_jones as lj
+    _, pos0 = lj.lj_fluid_box(system.n_atoms, 0.5)
+    pos = jnp.asarray(pos0)
+    idx, mask, _ = dense_neighbor_list(pos, system.box,
+                                       system.cutoff + system.skin,
+                                       system.nbr_capacity)
+    live = refresh_mask(pos, system.box, system.cutoff, idx, mask)
+
+    ff_x = GNNForceField(state, system, cfg_x)
+    ref = np.asarray(ff_x.force_fn()(pos, idx, live))
+    scale = float(np.abs(ref).std()) + 1e-12
+    failures = []
+
+    def check(name, out, tol):
+        err = float(np.abs(np.asarray(out) - ref).max()) / scale
+        status = "OK " if err < tol else "FAIL"
+        print(f"{status} {name}: max rel err {err:.4f} (tol {tol})",
+              flush=True)
+        if err >= tol:
+            failures.append(name)
+
+    # 1. conv kernel path
+    ff_k4 = GNNForceField(state, system,
+                          lj_model_config(use_pallas=True))
+    check("conv kernel 4 (fused_conv_gather_message)",
+          ff_k4.force_fn()(pos, idx, live), 0.05)
+
+    # 2. + fused encoder
+    ff_enc = GNNForceField(state, system,
+                           lj_model_config(use_pallas=True,
+                                           use_pallas_encoder=True))
+    check("fused encoder + conv kernel",
+          ff_enc.force_fn()(pos, idx, live), 0.05)
+
+    # 3. megakernel (handles its own refresh from the raw build mask)
+    mega = ff_x.force_fn(megakernel=True)
+    check("whole-model megakernel", mega(pos, idx, mask), 0.05)
+
+    # 4. replica axis
+    pos_r = jnp.stack([pos, jnp.mod(pos + 1.3, system.box)])
+    idx2, mask2, _ = dense_neighbor_list(pos_r[1], system.box,
+                                         system.cutoff + system.skin,
+                                         system.nbr_capacity)
+    out_r = mega(pos_r, jnp.stack([idx, idx2]), jnp.stack([mask, mask2]))
+    one0 = mega(pos, idx, mask)
+    one1 = mega(pos_r[1], idx2, mask2)
+    d = max(float(jnp.abs(out_r[0] - one0).max()),
+            float(jnp.abs(out_r[1] - one1).max()))
+    status = "OK " if d < 1e-5 else "FAIL"
+    print(f"{status} megakernel replica axis: max abs diff {d:.2e}",
+          flush=True)
+    if d >= 1e-5:
+        failures.append("replica axis")
+
+    if failures:
+        print(f"FAILURES: {failures}")
+        sys.exit(1)
+    print("all kernel parity checks passed")
+
+
+if __name__ == "__main__":
+    main()
