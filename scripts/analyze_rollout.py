@@ -47,6 +47,8 @@ def main():
                              " vs BatchNorm (--no-use_layer_norm)")
     parser.add_argument("--use_pallas", action="store_true",
                         help="fused Pallas kernels for the force model")
+    parser.add_argument("--megakernel", action="store_true",
+                        help="whole-model Pallas megakernel rollout")
     parser.add_argument("--rigid", default=True,
                         action=argparse.BooleanOptionalAction,
                         help="water: SETTLE-constrained rollout (reference "
@@ -112,7 +114,8 @@ def main():
     md = MDConfig(integrator=args.integrator, n_steps=args.steps,
                   temperature=system.temperature, dt_fs=system.dt_fs,
                   friction_per_ps=system.friction_per_ps, rebuild_every=20)
-    sim = Simulation(ff.force_fn(), system, md, constraint=constraint)
+    sim = Simulation(ff.force_fn(megakernel=args.megakernel), system, md,
+                     constraint=constraint)
     start_pos = jnp.asarray(gt_frames[-1])
     if constraint is not None:
         start_pos = constraint.project_initial(start_pos)
