@@ -12,11 +12,17 @@ and the host).
 """
 
 import json
+import os
 import time
 
 import jax
 import jax.numpy as jnp
 import numpy as np
+
+# Tuning knobs for on-chip sweeps (driver runs plain `python bench.py`).
+TILE_N = int(os.environ.get("GAMD_BENCH_TILE_N", "16"))
+K_MODEL = os.environ.get("GAMD_BENCH_K_MODEL")
+K_MODEL = int(K_MODEL) if K_MODEL else None
 
 from gamd_tpu.core.config import MDConfig, TrainConfig, get_preset, lj_model_config
 from gamd_tpu.md.simulate import Simulation
@@ -46,7 +52,8 @@ def main():
     md = MDConfig(integrator="langevin", temperature=system.temperature,
                   dt_fs=system.dt_fs, friction_per_ps=system.friction_per_ps,
                   rebuild_every=20)
-    sim = Simulation(ff.force_fn(megakernel=True), system, md)
+    sim = Simulation(ff.force_fn(megakernel=True, tile_n=TILE_N), system,
+                     md, k_model=K_MODEL)
 
     box, pos0 = lj.lj_fluid_box(system.n_atoms, 0.5)
     st = sim.init_state(jnp.asarray(pos0), rng=jax.random.PRNGKey(1))

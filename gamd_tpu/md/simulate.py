@@ -58,7 +58,8 @@ class Simulation:
     """
 
     def __init__(self, force_fn: Callable, system: SystemConfig,
-                 md: MDConfig, nbr_method: str = "dense", constraint=None):
+                 md: MDConfig, nbr_method: str = "dense", constraint=None,
+                 k_model: Optional[int] = None):
         if system.box is None:
             raise ValueError("Simulation requires a fixed box")
         self.force_fn = force_fn
@@ -66,6 +67,7 @@ class Simulation:
         self.md = md
         self.nbr_method = nbr_method
         self.constraint = constraint
+        self.k_model = k_model
         self.masses = jnp.asarray(system.atom_masses())
         self.dt = md.dt_fs * units.FS
         self.ndf = 3 * system.n_atoms - (
@@ -78,10 +80,21 @@ class Simulation:
         sysc = self.system
         radius = sysc.cutoff + sysc.skin
         if self.nbr_method == "dense":
-            return dense.dense_neighbor_list(pos, sysc.box, radius,
-                                             sysc.nbr_capacity)
-        return cell_list_neighbor_list(pos, float(sysc.box), float(radius),
-                                       sysc.nbr_capacity)
+            idx, mask, ovf = dense.dense_neighbor_list(
+                pos, sysc.box, radius, sysc.nbr_capacity)
+        else:
+            idx, mask, ovf = cell_list_neighbor_list(
+                pos, float(sysc.box), float(radius), sysc.nbr_capacity)
+        k = self.k_model
+        if k is not None and k < idx.shape[-1]:
+            # Lists are distance-sorted, so the nearest k slots are a valid
+            # smaller working set (~25% FLOP cut at k=48 vs 64). If ANY
+            # dropped slot is live at build time — i.e. a cutoff+skin
+            # neighbor would be lost for the chunk — flag overflow so the
+            # caller rebuilds with a larger k_model.
+            ovf = ovf | jnp.any(mask[..., k:])
+            idx, mask = idx[..., :k], mask[..., :k]
+        return idx, mask, ovf
 
     def _force_with(self, idx, mask):
         if getattr(self.force_fn, "handles_refresh", False):

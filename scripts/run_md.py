@@ -51,6 +51,9 @@ def main():
                         help="fused Pallas kernels for the force model")
     parser.add_argument("--megakernel", action="store_true",
                         help="whole-model Pallas megakernel (fastest path)")
+    parser.add_argument("--k_model", default=None, type=int,
+                        help="slice the distance-sorted neighbor list to "
+                             "this K for the force model (overflow-guarded)")
     parser.add_argument("--rigid", default=True,
                         action=argparse.BooleanOptionalAction,
                         help="water systems: SETTLE rigid-monomer rollout "
@@ -123,7 +126,7 @@ def main():
         seed=args.seed)
 
     sim = Simulation(ff.force_fn(megakernel=args.megakernel), system, md,
-                     constraint=constraint)
+                     constraint=constraint, k_model=args.k_model)
     st = sim.init_state(jnp.asarray(pos), rng=jax.random.PRNGKey(args.seed))
 
     print(f"Simulating {system.n_atoms} atoms, {args.steps} steps "

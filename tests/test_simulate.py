@@ -228,3 +228,28 @@ def test_generation_rotation_matrix_orthogonal():
     r = random_rotation_matrix(np.random.RandomState(3))
     np.testing.assert_allclose(r @ r.T, np.eye(3), atol=1e-5)
     assert np.linalg.det(r) == pytest.approx(1.0, abs=1e-5)
+
+
+def test_k_model_reduction():
+    """k_model slices the distance-sorted list; ample k reproduces the full
+    trajectory, starved k raises the overflow flag."""
+    system, params, pos = small_lj_system(n=32)
+    md = MDConfig(integrator="langevin", temperature=100.0, rebuild_every=5)
+    full = Simulation(lj.lj_force_fn(system.box, params), system, md)
+    cut = Simulation(lj.lj_force_fn(system.box, params), system, md,
+                     k_model=system.nbr_capacity)   # no-op slice
+    st_f = full.init_state(jnp.asarray(pos), rng=jax.random.PRNGKey(9))
+    st_c = cut.init_state(jnp.asarray(pos), rng=jax.random.PRNGKey(9))
+    r_f = full.run(st_f, 20)
+    r_c = cut.run(st_c, 20)
+    np.testing.assert_allclose(np.asarray(r_c.state.pos),
+                               np.asarray(r_f.state.pos), atol=1e-5)
+
+    # A k_model below the densest row's live count must flag overflow.
+    idx, mask, _ = full._build_nbrs(jnp.asarray(pos))
+    dens = int(np.asarray(mask).sum(axis=1).max())
+    starved = Simulation(lj.lj_force_fn(system.box, params), system, md,
+                         k_model=max(dens - 2, 1))
+    st_s = starved.init_state(jnp.asarray(pos), rng=jax.random.PRNGKey(9))
+    r_s = starved.run(st_s, 10)
+    assert bool(r_s.overflow)
