@@ -58,9 +58,14 @@ def main():
                              "length from the same start (apples-to-apples "
                              "RDF oracle with identical sampling)")
     parser.add_argument("--json_out", default=None)
+    parser.add_argument("--cpu", action="store_true",
+                        help="force the CPU backend (the axon TPU plugin "
+                             "ignores JAX_PLATFORMS)")
     args = parser.parse_args()
 
     import jax
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
     import jax.numpy as jnp
     import numpy as np
 

@@ -44,8 +44,14 @@ def main():
     parser.add_argument("--sample_num", default=1000, type=int)
     parser.add_argument("--seed_num", default=10, type=int)
     parser.add_argument("--json_out", default=None)
+    parser.add_argument("--cpu", action="store_true",
+                        help="force the CPU backend (the axon TPU plugin "
+                             "ignores JAX_PLATFORMS)")
     args = parser.parse_args()
 
+    import jax
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
     import numpy as np
 
     from gamd_tpu.core import units

@@ -60,9 +60,14 @@ def main():
                              "(the reference protocol); --no-rigid for "
                              "unconstrained dynamics")
     parser.add_argument("--seed", default=0, type=int)
+    parser.add_argument("--cpu", action="store_true",
+                        help="force the CPU backend (the axon TPU plugin "
+                             "ignores JAX_PLATFORMS)")
     args = parser.parse_args()
 
     import jax
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
     import jax.numpy as jnp
     import numpy as np
 
