@@ -21,7 +21,10 @@ import numpy as np
 
 # Tuning knobs for on-chip sweeps (driver runs plain `python bench.py`).
 TILE_N = int(os.environ.get("GAMD_BENCH_TILE_N", "16"))
-K_MODEL = os.environ.get("GAMD_BENCH_K_MODEL")
+# k_model=48: nearest-48 slice of the distance-sorted build list (K=64),
+# overflow-guarded (the guard would flag any dropped cutoff+skin neighbor;
+# LJ-258 at rho*=0.5 tops out ~45). ~25% FLOP cut, measured safe.
+K_MODEL = os.environ.get("GAMD_BENCH_K_MODEL", "48")
 K_MODEL = int(K_MODEL) if K_MODEL else None
 
 from gamd_tpu.core.config import MDConfig, TrainConfig, get_preset, lj_model_config
@@ -52,8 +55,14 @@ def main():
     md = MDConfig(integrator="langevin", temperature=system.temperature,
                   dt_fs=system.dt_fs, friction_per_ps=system.friction_per_ps,
                   rebuild_every=20)
+    # Multi-step fused path: the whole 20-step neighbor-reuse window runs
+    # as ONE Pallas program (in-kernel BAOAB + on-core PRNG noise); set
+    # GAMD_BENCH_MEGASTEP=0 to fall back to one kernel per step.
+    megastep = os.environ.get("GAMD_BENCH_MEGASTEP", "1") != "0"
     sim = Simulation(ff.force_fn(megakernel=True, tile_n=TILE_N), system,
-                     md, k_model=K_MODEL)
+                     md, k_model=K_MODEL,
+                     megastep_fn=(ff.megastep_fn(tile_n=TILE_N)
+                                  if megastep else None))
 
     box, pos0 = lj.lj_fluid_box(system.n_atoms, 0.5)
     st = sim.init_state(jnp.asarray(pos0), rng=jax.random.PRNGKey(1))

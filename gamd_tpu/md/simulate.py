@@ -59,7 +59,7 @@ class Simulation:
 
     def __init__(self, force_fn: Callable, system: SystemConfig,
                  md: MDConfig, nbr_method: str = "dense", constraint=None,
-                 k_model: Optional[int] = None):
+                 k_model: Optional[int] = None, megastep_fn=None):
         if system.box is None:
             raise ValueError("Simulation requires a fixed box")
         self.force_fn = force_fn
@@ -72,7 +72,22 @@ class Simulation:
         self.dt = md.dt_fs * units.FS
         self.ndf = 3 * system.n_atoms - (
             constraint.n_constraints if constraint is not None else 0)
+        # Whole-window fused MD (GNNForceField.megastep_fn): one Pallas
+        # program per neighbor-rebuild chunk instead of one per step.
+        # Langevin-only (NHC chain state stays in the XLA scan path).
+        self.megastep_fn = megastep_fn
+        if megastep_fn is not None and (
+                md.integrator != "langevin" or constraint is not None):
+            raise ValueError("megastep_fn supports the unconstrained "
+                             "langevin integrator only")
         self._run_cache = {}
+
+    def _baoab_constants(self):
+        gamma = self.md.friction_per_ps / units.PS
+        c1 = jnp.exp(-gamma * self.dt)
+        b = jnp.sqrt(1.0 - jnp.exp(-2.0 * gamma * self.dt))
+        sigma = jnp.sqrt(units.KB * self.md.temperature / self.masses)
+        return c1, 0.5 * self.dt, b * sigma
 
     # -- neighbor plumbing --------------------------------------------------
 
@@ -159,6 +174,29 @@ class Simulation:
         ndf = self.ndf
         stochastic = self.md.integrator in ("langevin", "andersen")
         n_atoms = self.system.n_atoms
+
+        if self.megastep_fn is not None:
+            c1, hdt, c2col = self._baoab_constants()
+            box = self.system.box
+            ms = self.megastep_fn
+
+            def mega_chunk(carry, _):
+                state, any_ovf = carry
+                posw = space.wrap(state.pos, box)
+                idx, mask, ovf = self._build_nbrs(posw)
+                rng, k_seed = jax.random.split(state.rng)
+                seed = jax.random.randint(k_seed, (), 0, 2**31 - 1)
+                pos2, vel2, f2, ke = ms(
+                    posw, state.vel, state.force, idx, mask, seed,
+                    n_steps=rebuild, c1=c1, hdt=hdt, c2col=c2col,
+                    masses=masses)
+                state = integ.LangevinState(pos=pos2, vel=vel2, force=f2,
+                                            rng=rng)
+                temp = 2.0 * ke / (ndf * units.KB)
+                return (state, any_ovf | ovf), (
+                    ke, temp, space.wrap(pos2, box))
+
+            return mega_chunk
 
         def chunk(carry, _):
             state, any_ovf = carry
@@ -370,6 +408,29 @@ class Simulation:
         box = self.system.box
 
         def chunk_of(rb):
+            if self.megastep_fn is not None:
+                c1, hdt, c2col = self._baoab_constants()
+                ms = self.megastep_fn
+
+                def mega_chunk(carry, _):
+                    state, any_ovf = carry
+                    posw = space.wrap(state.pos, box)
+                    idx, mask, ovf = jax.vmap(self._build_nbrs)(posw)
+                    rng, k_seed = jax.random.split(state.rng)
+                    seed = jax.random.randint(k_seed, (), 0, 2**31 - 1)
+                    pos2, vel2, f2, ke = ms(
+                        posw, state.vel, state.force, idx, mask, seed,
+                        n_steps=rb, c1=c1, hdt=hdt, c2col=c2col,
+                        masses=masses)
+                    state = integ.LangevinState(pos=pos2, vel=vel2,
+                                                force=f2, rng=rng)
+                    ke = ke.T                      # [R, rb] -> [rb, R]
+                    temp = 2.0 * ke / (ndf * units.KB)
+                    return (state, any_ovf | jnp.any(ovf)), (
+                        ke, temp, space.wrap(pos2, box))
+
+                return mega_chunk
+
             def chunk(carry, _):
                 state, any_ovf = carry
                 posw = space.wrap(state.pos, box)

@@ -276,24 +276,32 @@ def reference_forward(pos, idx, build_mask, h0, mp: MegaParams, box, cutoff,
     return decode_nodes(mp, h, mlp_act)
 
 
-def _mega_kernel(scalars_ref, pos_hi_ref, pos_lo_ref, idx_ref, bmask_ref,
-                 h0_ref, bond_ref,
-                 centers_ref, w_geo_ref, w_rbf_ref, b0_ref, w1_ref, b1_ref,
-                 w2_ref, b2_ref, eln_s_ref, eln_b_ref,
-                 nln_s_ref, nln_b_ref, w_src_ref, b_src_ref, w_dst_ref,
-                 b_dst_ref, w_e1_ref, b_e1_ref, w_e2_ref, b_e2_ref,
-                 w_t1_ref, b_t1_ref, w_t2_ref, b_t2_ref,
-                 w_pd_ref, b_pd_ref, w_pe_ref, b_pe_ref, w_p_ref, b_p_ref,
-                 wd0_ref, bd0_ref, wd1_ref, bd1_ref,
-                 out_ref,
-                 e_scr, live_scr, h_scr, agg_scr, nhi_scr, nlo_scr, *,
-                 tile_n: int, k: int, n_pad: int, n_tiles: int, n_rows: int,
-                 n_layers: int, d: int, flip_dir: bool, use_ln: bool,
-                 conv_act: str, mlp_act: str, f32_edges: bool):
-    """scalars: [8] = (box, cutoff^2, length_mean, 1/length_std, rbf_gamma).
+def _forward_body(scalars_ref, pos_hi_ref, pos_lo_ref, idx_ref, bmask_ref,
+                  h0_ref, bond_ref,
+                  centers_ref, w_geo_ref, w_rbf_ref, b0_ref, w1_ref, b1_ref,
+                  w2_ref, b2_ref, eln_s_ref, eln_b_ref,
+                  nln_s_ref, nln_b_ref, w_src_ref, b_src_ref, w_dst_ref,
+                  b_dst_ref, w_e1_ref, b_e1_ref, w_e2_ref, b_e2_ref,
+                  w_t1_ref, b_t1_ref, w_t2_ref, b_t2_ref,
+                  w_pd_ref, b_pd_ref, w_pe_ref, b_pe_ref, w_p_ref, b_p_ref,
+                  wd0_ref, bd0_ref, wd1_ref, bd1_ref,
+                  out_ref,
+                  e_scr, live_scr, h_scr, agg_scr, nhi_scr, nlo_scr,
+                  dst_scr, *, row_base, atom_base,
+                  tile_n: int, k: int, n_pad: int, n_tiles: int, n_rows: int,
+                  n_layers: int, d: int, flip_dir: bool, use_ln: bool,
+                  conv_act: str, mlp_act: str, f32_edges: bool):
+    """Whole-model forward over refs/scratch already in VMEM. Shared by the
+    single-shot megakernel and the multi-step MD kernel.
 
-    Refs with a leading replica axis (pos/idx/mask/h0/bond/out) arrive
-    already sliced to this grid step's replica by their BlockSpecs.
+    pos_hi/pos_lo/out refs are 2D, already sliced to this grid step's
+    replica; idx/bmask/bond/h0 are 2D with the replica axis FOLDED into
+    rows (offset by row_base/atom_base) — Mosaic cannot slice the leading
+    axis of a 3D ref whose lane dim is 1, but dynamic row offsets into a 2D
+    ref are supported.
+
+    scalars: [8] = (box, cutoff^2, length_mean, 1/length_std, rbf_gamma,
+    c1, hdt) — the last two used only by the MD kernel.
     """
     rows = tile_n * k
     bf = jnp.bfloat16
@@ -321,11 +329,12 @@ def _mega_kernel(scalars_ref, pos_hi_ref, pos_lo_ref, idx_ref, bmask_ref,
 
     # ---- encoder: per tile, featurize + MLP + LN into e_scr -------------
     def enc_tile(t, _):
-        r0 = pl.multiple_of(t * rows, rows)
+        r0 = pl.multiple_of(t * rows, rows)          # local (scratch) rows
+        rg = pl.multiple_of(row_base + t * rows, rows)   # global input rows
         a0 = pl.multiple_of(t * tile_n, tile_n)
-        idx_t = idx_ref[pl.ds(a0, tile_n), :]
-        iota = jax.lax.broadcasted_iota(jnp.int32, (tile_n, k, n_pad), 2)
-        onehot = (iota == idx_t[:, :, None]).astype(bf).reshape(rows, n_pad)
+        idx_t = idx_ref[pl.ds(rg, rows), :]          # [rows, 1] column
+        iota = jax.lax.broadcasted_iota(jnp.int32, (rows, n_pad), 1)
+        onehot = (iota == idx_t).astype(bf)
         nbr = (jnp.dot(onehot, pos_hi_ref[:, :],
                        preferred_element_type=jnp.float32)
                + jnp.dot(onehot, pos_lo_ref[:, :],
@@ -345,15 +354,17 @@ def _mega_kernel(scalars_ref, pos_hi_ref, pos_lo_ref, idx_ref, bmask_ref,
         std = (dist - length_mean) * inv_length_std
 
         live = jnp.where(
-            (bmask_ref[pl.ds(r0, rows), :] > 0.5) & (d2 < cutoff2), 1.0, 0.0)
-        live_scr[pl.ds(r0, rows), :] = live
+            (bmask_ref[pl.ds(rg, rows), :].astype(jnp.float32) > 0.5)
+            & (d2 < cutoff2), 1.0, 0.0)
+        live_scr[pl.ds(r0, rows), :] = live.astype(live_scr.dtype)
 
         diff = std - centers_ref[0:1, :]
         rbf = jnp.exp(-gamma * diff * diff)
         z = mm(rbf, w_rbf_ref[:, :])
         z = (z + ux * w_geo_ref[0:1, :] + uy * w_geo_ref[1:2, :]
              + uz * w_geo_ref[2:3, :] + std * w_geo_ref[3:4, :]
-             + bond_ref[pl.ds(r0, rows), :] * w_geo_ref[4:5, :]
+             + bond_ref[pl.ds(rg, rows), :].astype(jnp.float32)
+             * w_geo_ref[4:5, :]
              + b0_ref[0:1, :])
         z = mact(z)
         z = mm(z, w1_ref[:, :]) + b1_ref[0:1, :]
@@ -369,7 +380,7 @@ def _mega_kernel(scalars_ref, pos_hi_ref, pos_lo_ref, idx_ref, bmask_ref,
 
     jax.lax.fori_loop(0, n_tiles, enc_tile, 0)
 
-    h_scr[:, :] = h0_ref[:, :]
+    h_scr[:, :] = h0_ref[pl.ds(atom_base, n_rows), :]
     nhi_scr[:, :] = jnp.zeros_like(nhi_scr)
     nlo_scr[:, :] = jnp.zeros_like(nlo_scr)
 
@@ -384,35 +395,57 @@ def _mega_kernel(scalars_ref, pos_hi_ref, pos_lo_ref, idx_ref, bmask_ref,
         else:
             hn = h                                   # BN folded into affine
         hn = hn * nln_s_ref[layer, :, :] + nln_b_ref[layer, :, :]
-        src = mmf(hn, w_src_ref[layer]) + b_src_ref[layer, :, :]
-        dst = mmf(hn, w_dst_ref[layer]) + b_dst_ref[layer, :, :]
-        nodes = jnp.concatenate([hn, src], axis=1)   # [n_rows, 2D]
-        nhi = nodes.astype(bf)
+        # dst staged through VMEM: conv_tile reads its tile with pl.ds —
+        # Mosaic cannot dynamic_slice a register value at a loop-carried
+        # offset, but ref indexing is fine.
+        dst_scr[:, :] = (mmf(hn, w_dst_ref[layer])
+                         + b_dst_ref[layer, :, :]).astype(dst_scr.dtype)
+        # Only hn is gathered per edge; src_affine is applied AFTER the
+        # gather ([rows,D]@[D,H] = 0.4 GF vs gathering a precomputed
+        # 256-lane concat = 1.3 GF extra). The hi/lo bf16 split keeps the
+        # gather fp32-exact — a single bf16 copy was measured at 1.4% mean
+        # force error, above the 0.6% relative-MAE accuracy budget.
+        nhi = hn.astype(bf)
         nhi_scr[0:n_rows, :] = nhi
-        nlo_scr[0:n_rows, :] = (nodes - nhi.astype(jnp.float32)).astype(bf)
+        nlo_scr[0:n_rows, :] = (hn - nhi.astype(jnp.float32)).astype(bf)
 
         def conv_tile(t, _):
             r0 = pl.multiple_of(t * rows, rows)
+            rg = pl.multiple_of(row_base + t * rows, rows)
             a0 = pl.multiple_of(t * tile_n, tile_n)
-            idx_t = idx_ref[pl.ds(a0, tile_n), :]
-            iota = jax.lax.broadcasted_iota(jnp.int32, (tile_n, k, n_pad), 2)
-            onehot = (iota == idx_t[:, :, None]).astype(bf).reshape(
-                rows, n_pad)
-            g = (jnp.dot(onehot, nhi_scr[:, :],
-                         preferred_element_type=jnp.float32)
-                 + jnp.dot(onehot, nlo_scr[:, :],
-                           preferred_element_type=jnp.float32))
-            h_src = g[:, :d]
-            src_code = g[:, d:]
+            idx_t = idx_ref[pl.ds(rg, rows), :]      # [rows, 1] column
+            iota = jax.lax.broadcasted_iota(jnp.int32, (rows, n_pad), 1)
+            onehot = (iota == idx_t).astype(bf)
+            ghi = jnp.dot(onehot, nhi_scr[:, :],
+                          preferred_element_type=jnp.float32)
+            glo = jnp.dot(onehot, nlo_scr[:, :],
+                          preferred_element_type=jnp.float32)
+            h_src = ghi + glo
+            # src_affine applied post-gather. ghi/glo are exactly
+            # bf16-representable (one-hot selections of bf16 rows), and the
+            # weight is split hi/lo too (lo x lo term ~1e-5, dropped), so
+            # src_code matches the fp32 node-level affine the XLA oracle
+            # computes — a single bf16 rounding here measured 3.5% max
+            # force error, over the 3% parity budget.
+            ws = w_src_ref[layer]
+            ws_hi = ws.astype(bf)
+            ws_lo = (ws - ws_hi.astype(jnp.float32)).astype(bf)
+            src_code = (jnp.dot(ghi.astype(bf), ws_hi,
+                                preferred_element_type=jnp.float32)
+                        + jnp.dot(ghi.astype(bf), ws_lo,
+                                  preferred_element_type=jnp.float32)
+                        + jnp.dot(glo.astype(bf), ws_hi,
+                                  preferred_element_type=jnp.float32)
+                        + b_src_ref[layer, :, :])
             x = e_scr[pl.ds(r0, rows), :].astype(jnp.float32)
             z = cact(mm(x, w_e1_ref[layer]) + b_e1_ref[layer, :, :])
             z = mm(z, w_e2_ref[layer]) + b_e2_ref[layer, :, :]
-            dst_t = jax.lax.dynamic_slice(dst, (t * tile_n, 0),
-                                          (tile_n, dst.shape[1]))
+            dst_t = dst_scr[pl.ds(a0, tile_n), :].astype(jnp.float32)
             z = z + src_code + jnp.repeat(dst_t, k, axis=0)
             z = cact(mm(cact(z), w_t1_ref[layer]) + b_t1_ref[layer, :, :])
             m = mm(z, w_t2_ref[layer]) + b_t2_ref[layer, :, :]
-            msg = (m * h_src) * live_scr[pl.ds(r0, rows), :]
+            msg = (m * h_src) * live_scr[pl.ds(r0, rows),
+                                         :].astype(jnp.float32)
             agg_scr[pl.ds(a0, tile_n), :] = jnp.sum(
                 msg.reshape(tile_n, k, d), axis=1)
             return 0
@@ -428,6 +461,266 @@ def _mega_kernel(scalars_ref, pos_hi_ref, pos_lo_ref, idx_ref, bmask_ref,
     h = h_scr[:, :]
     z = mact(mmf(h, wd0_ref[:, :]) + bd0_ref[0:1, :])
     out_ref[:, :] = mmf(z, wd1_ref[:, :]) + bd1_ref[0:1, :]
+
+
+def _mega_kernel(scalars_ref, pos_hi_ref, pos_lo_ref, idx_ref, bmask_ref,
+                 h0_ref, bond_ref, *rest,
+                 tile_n: int, k: int, n_pad: int, n_tiles: int, n_rows: int,
+                 n_layers: int, d: int, flip_dir: bool, use_ln: bool,
+                 conv_act: str, mlp_act: str, f32_edges: bool):
+    """Single forward pass (grid = replicas). See _forward_body."""
+    weights = rest[:-8]
+    out_ref = rest[-8]
+    scratch = rest[-7:]
+    p = pl.program_id(0)
+    rows_total = n_tiles * tile_n * k
+    _forward_body(
+        scalars_ref, pos_hi_ref.at[p], pos_lo_ref.at[p], idx_ref, bmask_ref,
+        h0_ref, bond_ref, *weights, out_ref.at[p], *scratch,
+        row_base=p * rows_total, atom_base=p * n_rows,
+        tile_n=tile_n, k=k, n_pad=n_pad, n_tiles=n_tiles, n_rows=n_rows,
+        n_layers=n_layers, d=d, flip_dir=flip_dir, use_ln=use_ln,
+        conv_act=conv_act, mlp_act=mlp_act, f32_edges=f32_edges)
+
+
+def _mega_md_kernel(scalars_ref, seeds_ref, pos0_ref, vel0_ref, f0_ref,
+                    idx_ref, bmask_ref, h0_ref, bond_ref, invm_ref, c2_ref,
+                    m_ref, *rest,
+                    n_steps: int, tile_n: int, k: int, n_pad: int,
+                    n_tiles: int, n_rows: int, n_layers: int, d: int,
+                    flip_dir: bool, use_ln: bool, conv_act: str,
+                    mlp_act: str, f32_edges: bool, interpret_rng: bool):
+    """n_steps of BAOAB Langevin MD with the GNN forward run ENTIRELY in
+    one kernel invocation: positions, velocities, and the edge stream stay
+    VMEM-resident across the whole neighbor-reuse window, and thermostat
+    noise comes from the on-core PRNG — no per-step launch, no per-step HBM
+    traffic beyond weight reads.
+
+    Semantics match gamd_tpu.md.integrators.baoab_langevin step_fn exactly
+    (B A O A [force] B with c1 = exp(-gamma dt), c2 = sigma sqrt(1-c1^2));
+    only the gaussian stream differs (on-core PRNG + Box-Muller instead of
+    threefry). Reference for the split the fused step replaces:
+    /root/reference/code/hack_integrator.py:141-178.
+    """
+    weights = rest[:-16]
+    pos_out, vel_out, f_out, thermo_out = rest[-16:-12]
+    (e_scr, live_scr, h_scr, agg_scr, nhi_scr, nlo_scr, dst_scr,
+     pcur_scr, vcur_scr, f_scr, phi_scr, plo_scr) = rest[-12:]
+
+    p = pl.program_id(0)
+    rows_total = n_tiles * tile_n * k
+    if not interpret_rng:
+        pltpu.prng_seed(seeds_ref[0], p)
+    pcur_scr[:, :] = pos0_ref.at[p][:, :]
+    vcur_scr[:, :] = vel0_ref.at[p][:, :]
+    f_scr[:, :] = f0_ref.at[p][:, :]
+    c1 = scalars_ref[5]
+    hdt = scalars_ref[6]
+    lane = jax.lax.broadcasted_iota(jnp.int32, (n_rows, 128), 1)
+    lmask = (lane < 3).astype(jnp.float32)
+    invm = invm_ref[:, :]
+    c2 = c2_ref[:, :]
+    mcol = m_ref[:, :]
+
+    def refresh_hilo():
+        pc = pcur_scr[:, :]
+        phi = pc.astype(jnp.bfloat16)
+        phi_scr[:, :] = phi
+        plo_scr[:, :] = (pc - phi.astype(jnp.float32)).astype(jnp.bfloat16)
+
+    def fwd():
+        _forward_body(
+            scalars_ref, phi_scr, plo_scr, idx_ref, bmask_ref, h0_ref,
+            bond_ref, *weights, f_scr,
+            e_scr, live_scr, h_scr, agg_scr, nhi_scr, nlo_scr, dst_scr,
+            row_base=p * rows_total, atom_base=p * n_rows,
+            tile_n=tile_n, k=k, n_pad=n_pad, n_tiles=n_tiles, n_rows=n_rows,
+            n_layers=n_layers, d=d, flip_dir=flip_dir, use_ln=use_ln,
+            conv_act=conv_act, mlp_act=mlp_act, f32_edges=f32_edges)
+
+    def hash_bits(s, tag):
+        # interpret-mode stand-in for the on-core PRNG (which has no CPU
+        # lowering): murmur3-finalizer hash of (seed, replica, step, draw,
+        # element) — test-quality randomness only.
+        c = (seeds_ref[0].astype(jnp.uint32) * jnp.uint32(2654435761)
+             + jnp.uint32(p * 40503 + s * 69069 + tag * 97))
+        v = (jax.lax.broadcasted_iota(jnp.uint32, (n_rows, 128), 0)
+             * jnp.uint32(128)
+             + jax.lax.broadcasted_iota(jnp.uint32, (n_rows, 128), 1)
+             + c * jnp.uint32(0x9E3779B9))
+        v = v ^ (v >> 16)
+        v = v * jnp.uint32(0x85EBCA6B)
+        v = v ^ (v >> 13)
+        v = v * jnp.uint32(0xC2B2AE35)
+        return v ^ (v >> 16)
+
+    def gaussian(s):
+        if interpret_rng:
+            bits1 = jax.lax.bitcast_convert_type(hash_bits(s, 0), jnp.int32)
+            bits2 = jax.lax.bitcast_convert_type(hash_bits(s, 1), jnp.int32)
+        else:
+            bits1 = pltpu.prng_random_bits((n_rows, 128))
+            bits2 = pltpu.prng_random_bits((n_rows, 128))
+        # int32 throughout (Mosaic has no uint32->f32 cast): arithmetic
+        # shift then mask to 23 bits, guaranteeing a non-negative mantissa.
+        m23 = jnp.int32(0x7FFFFF)
+        u1 = ((bits1 >> 9) & m23).astype(jnp.float32) \
+            * (1.0 / (1 << 23)) + 1e-7
+        u2 = ((bits2 >> 9) & m23).astype(jnp.float32) * (1.0 / (1 << 23))
+        return jnp.sqrt(-2.0 * jnp.log(u1)) * jnp.cos(
+            np.float32(2.0 * np.pi) * u2)
+
+    def step(s, _):
+        v = vcur_scr[:, :] + hdt * invm * f_scr[:, :]            # B
+        x = pcur_scr[pl.ds(0, n_rows), :] + hdt * v              # A
+        v = c1 * v + c2 * (gaussian(s) * lmask)                  # O
+        x = x + hdt * v                                          # A
+        pcur_scr[pl.ds(0, n_rows), :] = x
+        refresh_hilo()
+        fwd()                                                    # f(x_new)
+        v = v + hdt * invm * f_scr[:, :]                         # B
+        vcur_scr[:, :] = v
+        ke = 0.5 * jnp.sum(mcol * v * v)
+        thermo_out[p * n_steps + s] = ke
+        return 0
+
+    refresh_hilo()     # pos lanes 3+ are zero; rows >= n_rows never move
+    jax.lax.fori_loop(0, n_steps, step, 0)
+    pos_out.at[p][:, :] = pcur_scr[:, :]
+    vel_out.at[p][:, :] = vcur_scr[:, :]
+    f_out.at[p][:, :] = f_scr[:, :]
+
+
+def mega_md_steps(pos, vel, force, idx, build_mask, h0, mp: MegaParams,
+                  box, cutoff, length_mean, length_std, masses, *,
+                  n_steps: int, c1, hdt, c2col, seed, bond=None,
+                  rbf_gap=0.025, flip_dir=False, use_ln=True,
+                  conv_act="silu", mlp_act="gelu", tile_n: int = 16,
+                  interpret: bool = False, f32_edges: bool = False):
+    """Advance n_steps of fused BAOAB GNN-MD in ONE device program.
+
+    Args:
+        pos/vel/force: [N,3] or [R,N,3] current state (forces in the units
+            folded into mp — internal MD units for the Simulation driver).
+        idx/build_mask/bond: padded neighbor data, fixed for the window.
+        h0: initial node features (constant per system).
+        masses: [N] atomic masses (internal units); padding handled here.
+        c1: exp(-gamma dt); hdt: dt/2; c2col: [N] sigma*sqrt(1-c1^2)
+            (thermostat constants, precomputed by the caller in internal
+            units to match integrators.baoab_langevin).
+        seed: int32 scalar (traced ok) seeding the on-core PRNG; replica p
+            reseeds with (seed, p).
+
+    Returns (pos', vel', force', ke) with ke [n_steps] (or [R, n_steps])
+    in kJ/mol.
+    """
+    squeeze = pos.ndim == 2
+    if squeeze:
+        pos, vel, force = pos[None], vel[None], force[None]
+        idx, build_mask = idx[None], build_mask[None]
+        h0 = h0[None]
+        bond = None if bond is None else bond[None]
+    r, n, _ = pos.shape
+    k = idx.shape[2]
+    d = h0.shape[2]
+    h_dim = mp.w1.shape[0]
+    e_dim = mp.w2.shape[1]
+    n_rows_t = _round_up(n, tile_n)
+    n_pad = _round_up(n, 128)
+    n_tiles = n_rows_t // tile_n
+    rows_total = n_rows_t * k
+
+    if n_rows_t != n:
+        pad = n_rows_t - n
+        idx = jnp.pad(idx, ((0, 0), (0, pad), (0, 0)))
+        build_mask = jnp.pad(build_mask, ((0, 0), (0, pad), (0, 0)))
+        h0 = jnp.pad(h0, ((0, 0), (0, pad), (0, 0)))
+        if bond is not None:
+            bond = jnp.pad(bond, ((0, 0), (0, pad), (0, 0)))
+
+    def cols(x, rows):
+        out = jnp.zeros((r, rows, 128), jnp.float32)
+        return out.at[:, :n, :3].set(x.astype(jnp.float32))
+
+    pos_cols = cols(pos, n_pad)
+    vel_cols = cols(vel, n_rows_t)
+    f_cols = cols(force, n_rows_t)
+
+    col = lambda v: jnp.zeros((n_rows_t, 1), jnp.float32).at[:n, 0].set(
+        jnp.asarray(v, jnp.float32))
+    m_arr = jnp.asarray(masses, jnp.float32)
+    invm_col = col(1.0 / m_arr)
+    c2_col = col(c2col)
+    m_col = col(m_arr)
+
+    bmask = build_mask.astype(jnp.bfloat16).reshape(r * rows_total, 1)
+    if bond is None:
+        bond_in = jnp.zeros((r * rows_total, 1), jnp.bfloat16)
+    else:
+        bond_in = bond.astype(jnp.bfloat16).reshape(r * rows_total, 1)
+
+    cutoff2 = (jnp.asarray(cutoff, jnp.float32) ** 2 if cutoff is not None
+               else jnp.asarray(jnp.inf, jnp.float32))
+    scalars = jnp.stack([
+        jnp.asarray(box, jnp.float32), cutoff2,
+        jnp.asarray(length_mean, jnp.float32),
+        1.0 / jnp.asarray(length_std, jnp.float32),
+        jnp.asarray(1.0 / rbf_gap, jnp.float32),
+        jnp.asarray(c1, jnp.float32), jnp.asarray(hdt, jnp.float32),
+        jnp.zeros(()),
+    ])
+    seeds = jnp.asarray(seed, jnp.int32).reshape(1)
+
+    kernel = functools.partial(
+        _mega_md_kernel, n_steps=n_steps, tile_n=tile_n, k=k, n_pad=n_pad,
+        n_tiles=n_tiles, n_rows=n_rows_t, n_layers=mp.w_src.shape[0], d=d,
+        flip_dir=flip_dir, use_ln=use_ln, conv_act=conv_act,
+        mlp_act=mlp_act, f32_edges=f32_edges, interpret_rng=interpret)
+
+    full = lambda: pl.BlockSpec(memory_space=pltpu.VMEM)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(r,),
+        in_specs=[full()] * (10 + len(MegaParams._fields)),
+        out_specs=[full(), full(), full(),
+                   pl.BlockSpec(memory_space=pltpu.SMEM)],
+        scratch_shapes=[
+            pltpu.VMEM((rows_total, e_dim), jnp.bfloat16),   # e
+            pltpu.VMEM((rows_total, 1), jnp.bfloat16),       # live mask
+            pltpu.VMEM((n_rows_t, d), jnp.float32),          # h
+            pltpu.VMEM((n_rows_t, d), jnp.float32),          # agg
+            pltpu.VMEM((n_pad, d), jnp.bfloat16),            # hn hi
+            pltpu.VMEM((n_pad, d), jnp.bfloat16),            # hn lo
+            pltpu.VMEM((n_rows_t, h_dim), jnp.float32),      # dst stage
+            pltpu.VMEM((n_pad, 128), jnp.float32),           # pos current
+            pltpu.VMEM((n_rows_t, 128), jnp.float32),        # vel current
+            pltpu.VMEM((n_rows_t, 128), jnp.float32),        # force
+            pltpu.VMEM((n_pad, 128), jnp.bfloat16),          # pos hi
+            pltpu.VMEM((n_pad, 128), jnp.bfloat16),          # pos lo
+        ],
+    )
+
+    pos_o, vel_o, f_o, ke = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((r, n_pad, 128), jnp.float32),
+            jax.ShapeDtypeStruct((r, n_rows_t, 128), jnp.float32),
+            jax.ShapeDtypeStruct((r, n_rows_t, 128), jnp.float32),
+            jax.ShapeDtypeStruct((r * n_steps,), jnp.float32),
+        ],
+        interpret=interpret,
+    )(scalars, seeds, pos_cols, vel_cols, f_cols,
+      idx.astype(jnp.int32).reshape(r * rows_total, 1), bmask,
+      h0.reshape(r * n_rows_t, d), bond_in, invm_col, c2_col, m_col, *mp)
+
+    pos_n = pos_o[:, :n, :3]
+    vel_n = vel_o[:, :n, :3]
+    f_n = f_o[:, :n, :3]
+    ke = ke.reshape(r, n_steps)
+    if squeeze:
+        return pos_n[0], vel_n[0], f_n[0], ke[0]
+    return pos_n, vel_n, f_n, ke
 
 
 def mega_forward(pos, idx, build_mask, h0, mp: MegaParams, box, cutoff,
@@ -480,11 +773,14 @@ def mega_forward(pos, idx, build_mask, h0, mp: MegaParams, box, cutoff,
     pos_hi = pos_cols.astype(jnp.bfloat16)
     pos_lo = (pos_cols - pos_hi.astype(jnp.float32)).astype(jnp.bfloat16)
 
-    bmask = build_mask.astype(jnp.float32).reshape(r, rows_total, 1)
+    # Replica axis folded into rows (2D column layout) — see _mega_kernel.
+    # bf16 carries 0/1 flags exactly and halves the VMEM footprint (the
+    # whole program must fit the ~16 MB scoped VMEM budget).
+    bmask = build_mask.astype(jnp.bfloat16).reshape(r * rows_total, 1)
     if bond is None:
-        bond_in = jnp.zeros((r, rows_total, 1), jnp.float32)
+        bond_in = jnp.zeros((r * rows_total, 1), jnp.bfloat16)
     else:
-        bond_in = bond.astype(jnp.float32).reshape(r, rows_total, 1)
+        bond_in = bond.astype(jnp.bfloat16).reshape(r * rows_total, 1)
 
     cutoff2 = (jnp.asarray(cutoff, jnp.float32) ** 2 if cutoff is not None
                else jnp.asarray(jnp.inf, jnp.float32))
@@ -502,55 +798,36 @@ def mega_forward(pos, idx, build_mask, h0, mp: MegaParams, box, cutoff,
         use_ln=use_ln, conv_act=conv_act, mlp_act=mlp_act,
         f32_edges=f32_edges)
 
-    rep = lambda shape: pl.BlockSpec((1,) + shape,
-                                     lambda i, *_: (i,) + (0,) * len(shape),
-                                     memory_space=pltpu.VMEM)
+    # All tensor refs ride into VMEM whole (with their replica axis); the
+    # kernel wrapper slices the current grid step's replica with a dynamic
+    # leading-dim index. Mosaic forbids BlockSpec blocks whose trailing dim
+    # is not 128-aligned (idx/mask/bond are [rows, 1] columns), but dynamic
+    # indexing of a ref's untiled leading axis is fine.
     full = lambda: pl.BlockSpec(memory_space=pltpu.VMEM)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(r,),
-        in_specs=[
-            rep((n_pad, 128)), rep((n_pad, 128)),       # pos hi/lo
-            rep((n_rows_t, k)),                          # idx
-            rep((rows_total, 1)),                        # build mask
-            rep((n_rows_t, d)),                          # h0
-            rep((rows_total, 1)),                        # bond
-        ] + [full()] * len(MegaParams._fields),
-        out_specs=pl.BlockSpec((1, n_rows_t, 128),
-                               lambda i, *_: (i, 0, 0),
-                               memory_space=pltpu.VMEM),
+        in_specs=[full()] * (6 + len(MegaParams._fields)),
+        out_specs=full(),
         scratch_shapes=[
             pltpu.VMEM((rows_total, e_dim), jnp.bfloat16),   # e
-            pltpu.VMEM((rows_total, 1), jnp.float32),        # live mask
+            pltpu.VMEM((rows_total, 1), jnp.bfloat16),       # live mask
             pltpu.VMEM((n_rows_t, d), jnp.float32),          # h
             pltpu.VMEM((n_rows_t, d), jnp.float32),          # agg
-            pltpu.VMEM((n_pad, 2 * d), jnp.bfloat16),        # nodes hi
-            pltpu.VMEM((n_pad, 2 * d), jnp.bfloat16),        # nodes lo
+            pltpu.VMEM((n_pad, d), jnp.bfloat16),            # hn hi
+            pltpu.VMEM((n_pad, d), jnp.bfloat16),            # hn lo
+            pltpu.VMEM((n_rows_t, h_dim), jnp.float32),      # dst stage
         ],
     )
 
     out = pl.pallas_call(
-        _reshape_wrapper(kernel),
+        kernel,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((r, n_rows_t, 128), jnp.float32),
         interpret=interpret,
-    )(scalars, pos_hi, pos_lo, idx.astype(jnp.int32), bmask, h0, bond_in,
+    )(scalars, pos_hi, pos_lo,
+      idx.astype(jnp.int32).reshape(r * rows_total, 1), bmask,
+      h0.reshape(r * n_rows_t, d), bond_in,
       *mp)
     forces = out[:, :n, :3]
     return forces[0] if squeeze else forces
-
-
-def _reshape_wrapper(kernel):
-    """Drop the leading size-1 replica axis the per-replica BlockSpecs give
-    the first six tensor refs and the output ref."""
-
-    def wrapped(scalars_ref, pos_hi, pos_lo, idx, bmask, h0, bond,
-                *rest):
-        weights = rest[:-7]
-        out_ref = rest[-7]
-        scratch = rest[-6:]
-        kernel(scalars_ref, pos_hi.at[0], pos_lo.at[0], idx.at[0],
-               bmask.at[0], h0.at[0], bond.at[0], *weights, out_ref.at[0],
-               *scratch)
-
-    return wrapped

@@ -119,6 +119,46 @@ class GNNForceField:
         fn.handles_refresh = True     # in-kernel true-cutoff mask refresh
         return fn
 
+    def megastep_fn(self, tile_n: int = 16, interpret: bool = False):
+        """Multi-step fused MD: (pos, vel, force, idx, mask, seed, *,
+        n_steps, c1, hdt, c2col, masses) -> (pos', vel', force', ke).
+
+        Runs a whole neighbor-reuse window of BAOAB Langevin steps in ONE
+        Pallas program (ops.pallas_model.mega_md_steps): zero launch or HBM
+        round trips between steps. Pass to Simulation(megastep_fn=...).
+        """
+        from gamd_tpu.ops.pallas_model import mega_md_steps, pack_params
+
+        cfg = self.model_cfg
+        system = self.system
+        if system.box is None or not cfg.expand_edge or cfg.update_edge:
+            raise ValueError("megastep path requires a fixed scalar box, "
+                             "expand_edge=True, update_edge=False")
+        unit = system.force_unit_to_internal
+        mp = pack_params(self.params, cfg, batch_stats=self.batch_stats,
+                         force_std=jnp.maximum(self.force_stat.std, 1e-12),
+                         force_mean=self.force_stat.safe_mean, unit=unit)
+        h0 = self._node_h0()
+        length_mean = self.length_stat.safe_mean
+        length_std = jnp.maximum(self.length_stat.std, 1e-12)
+        use_bond = self.model.use_bond
+
+        def fn(pos, vel, force, idx, mask, seed, *, n_steps, c1, hdt,
+               c2col, masses):
+            bond = neighbor_bond_channel(idx) if use_bond else None
+            h0_b = jnp.broadcast_to(h0, pos.shape[:-2] + h0.shape) \
+                if pos.ndim == 3 else h0
+            return mega_md_steps(
+                pos, vel, force, idx, mask, h0_b, mp, system.box,
+                system.cutoff, length_mean, length_std, masses,
+                n_steps=n_steps, c1=c1, hdt=hdt, c2col=c2col, seed=seed,
+                bond=bond, rbf_gap=cfg.rbf_gap, flip_dir=cfg.flip_dir,
+                use_ln=cfg.use_layer_norm, conv_act=cfg.conv_activation,
+                mlp_act=cfg.mlp_activation, tile_n=tile_n,
+                interpret=interpret)
+
+        return fn
+
     def predict(self, pos, box=None):
         """Offline force prediction in DATASET units (kJ/mol/nm for LJ/water,
         Hartree/bohr for DFT) — the predict_forces equivalent."""

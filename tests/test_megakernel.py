@@ -248,3 +248,95 @@ def test_forcefield_megakernel_closure():
     out = fn(pos, idx, mask)     # raw build mask: kernel refreshes itself
     err = jnp.abs(out - ref)
     assert float(err.max()) < 0.08 * float(jnp.abs(ref).std() + 1e-9)
+
+
+def test_megastep_multi_step_kernel():
+    """The in-kernel multi-step BAOAB path (mega_md_steps) matches the XLA
+    BAOAB integrator step-for-step when the noise is switched off (c2col=0
+    makes BAOAB deterministic; forces from the f32_edges kernel match the
+    tanh-gelu XLA oracle to ~1e-4)."""
+    from gamd_tpu.md import integrators as integ
+    from gamd_tpu.ops.pallas_model import (mega_md_steps, pack_params,
+                                           reference_forward)
+
+    n, kcap, cutoff = 64, 16, 4.2
+    cfg = ModelConfig(use_layer_norm=True)
+    model, variables, pos, idx, mask, feat, bond = _setup(
+        cfg, n=n, k=kcap, cutoff=cutoff + 0.8)
+    mp = pack_params(variables["params"], cfg)
+    h0 = _h0(variables["params"], cfg, "lj", feat, n)
+
+    masses = jnp.full((n,), 39.9, jnp.float32)
+    dt, c1, hdt = 0.02, 0.98, 0.01
+    c2col = jnp.zeros((n,))
+    vel0 = jnp.asarray(
+        np.random.RandomState(5).randn(n, 3).astype(np.float32)) * 0.05
+
+    # oracle: XLA BAOAB over the tanh-gelu reference forward (zero noise)
+    def force(p):
+        return reference_forward(p, idx, mask, h0, mp, BOX, cutoff,
+                                 0.5, 2.0)
+    init, step = integ.baoab_langevin(force, dt, masses, 100.0,
+                                      friction=1.0)
+    st = init(pos, vel0, jax.random.PRNGKey(0))
+    st = st._replace(vel=vel0)
+    zero = jnp.zeros((n, 3))
+    for _ in range(3):
+        # zero noise + friction folded to match c1 exactly
+        v = st.vel + 0.5 * dt * st.force / masses[:, None]
+        x = st.pos + 0.5 * dt * v
+        v = c1 * v
+        x = x + 0.5 * dt * v
+        f = force(x)
+        v = v + 0.5 * dt * f / masses[:, None]
+        st = st._replace(pos=x, vel=v, force=f)
+
+    pos2, vel2, f2, ke = mega_md_steps(
+        pos, vel0, force(pos), idx, mask, h0, mp, BOX, cutoff, 0.5, 2.0,
+        masses, n_steps=3, c1=c1, hdt=hdt, c2col=c2col, seed=7,
+        tile_n=8, interpret=True, f32_edges=True)
+
+    np.testing.assert_allclose(np.asarray(pos2), np.asarray(st.pos),
+                               atol=2e-4)
+    np.testing.assert_allclose(np.asarray(vel2), np.asarray(st.vel),
+                               atol=2e-4)
+    ke_ref = 0.5 * float(jnp.sum(masses[:, None] * st.vel ** 2))
+    assert abs(float(ke[-1]) - ke_ref) < 1e-2 * max(ke_ref, 1.0)
+    assert ke.shape == (3,)
+
+
+def test_simulation_megastep_runs():
+    """Simulation(megastep_fn=...) advances, reports thermo, and stays
+    finite; replica variant carries the batch axis."""
+    from gamd_tpu.core.config import MDConfig
+    from gamd_tpu.md.simulate import Simulation
+    from gamd_tpu.train.forcefield import GNNForceField
+    from gamd_tpu.train.state import build_model, create_train_state
+
+    system = get_preset("lj", n_atoms=64, box=BOX, cutoff=4.2,
+                        nbr_capacity=16, skin=0.8)
+    cfg = ModelConfig(use_layer_norm=True)
+    model = build_model(cfg, system)
+    state = create_train_state(model, system, TrainConfig(), 1)
+    ff = GNNForceField(state, system, cfg)
+    md = MDConfig(integrator="langevin", temperature=100.0, dt_fs=2.0,
+                  friction_per_ps=25.0, rebuild_every=5)
+
+    rng = np.random.RandomState(8)
+    pos = jnp.asarray(rng.uniform(0, BOX, (64, 3)).astype(np.float32))
+
+    sim = Simulation(ff.force_fn(megakernel=True, tile_n=8, interpret=True),
+                     system, md,
+                     megastep_fn=ff.megastep_fn(tile_n=8, interpret=True))
+    st = sim.init_state(pos, rng=jax.random.PRNGKey(3))
+    r = sim.run(st, 12)
+    assert r.thermo.temperature.shape == (12,)
+    assert bool(jnp.isfinite(r.state.pos).all())
+    assert bool(jnp.isfinite(r.thermo.temperature).all())
+    assert float(r.thermo.temperature.min()) > 0.0
+
+    states = sim.init_replicas(pos, 2, rng=jax.random.PRNGKey(4))
+    rr = sim.run_replicas(states, 10)
+    assert rr.state.pos.shape == (2, 64, 3)
+    assert rr.thermo.temperature.shape == (2, 10)
+    assert bool(jnp.isfinite(rr.state.pos).all())
