@@ -49,6 +49,9 @@ def main():
                         help="fused Pallas kernels for the force model")
     parser.add_argument("--megakernel", action="store_true",
                         help="whole-model Pallas megakernel rollout")
+    parser.add_argument("--megastep", action="store_true",
+                        help="whole neighbor-reuse window per Pallas program"
+                             " (langevin, unconstrained only)")
     parser.add_argument("--rigid", default=True,
                         action=argparse.BooleanOptionalAction,
                         help="water: SETTLE-constrained rollout (reference "
@@ -119,8 +122,16 @@ def main():
     md = MDConfig(integrator=args.integrator, n_steps=args.steps,
                   temperature=system.temperature, dt_fs=system.dt_fs,
                   friction_per_ps=system.friction_per_ps, rebuild_every=20)
-    sim = Simulation(ff.force_fn(megakernel=args.megakernel), system, md,
-                     constraint=constraint)
+    megastep_fn = None
+    if args.megastep:
+        if args.integrator != "langevin" or constraint is not None:
+            parser.error("--megastep requires langevin and an unconstrained "
+                         "system")
+        megastep_fn = ff.megastep_fn(interpret=args.cpu)
+    sim = Simulation(
+        ff.force_fn(megakernel=args.megakernel or args.megastep,
+                    interpret=args.cpu),
+        system, md, constraint=constraint, megastep_fn=megastep_fn)
     start_pos = jnp.asarray(gt_frames[-1])
     if constraint is not None:
         start_pos = constraint.project_initial(start_pos)

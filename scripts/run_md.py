@@ -50,7 +50,10 @@ def main():
     parser.add_argument("--use_pallas", action="store_true",
                         help="fused Pallas kernels for the force model")
     parser.add_argument("--megakernel", action="store_true",
-                        help="whole-model Pallas megakernel (fastest path)")
+                        help="whole-model Pallas megakernel force path")
+    parser.add_argument("--megastep", action="store_true",
+                        help="whole neighbor-reuse window per Pallas program"
+                             " (fastest path; langevin, unconstrained only)")
     parser.add_argument("--k_model", default=None, type=int,
                         help="slice the distance-sorted neighbor list to "
                              "this K for the force model (overflow-guarded)")
@@ -130,8 +133,17 @@ def main():
         rebuild_every=args.rebuild_every, report_every=args.report_every,
         seed=args.seed)
 
-    sim = Simulation(ff.force_fn(megakernel=args.megakernel), system, md,
-                     constraint=constraint, k_model=args.k_model)
+    megastep_fn = None
+    if args.megastep:
+        if args.integrator != "langevin" or constraint is not None:
+            parser.error("--megastep requires --integrator langevin and an "
+                         "unconstrained system (use --no-rigid for water)")
+        megastep_fn = ff.megastep_fn(interpret=args.cpu)
+    sim = Simulation(
+        ff.force_fn(megakernel=args.megakernel or args.megastep,
+                    interpret=args.cpu),
+        system, md, constraint=constraint, k_model=args.k_model,
+        megastep_fn=megastep_fn)
     st = sim.init_state(jnp.asarray(pos), rng=jax.random.PRNGKey(args.seed))
 
     print(f"Simulating {system.n_atoms} atoms, {args.steps} steps "
