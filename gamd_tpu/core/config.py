@@ -144,6 +144,9 @@ class TrainConfig:
     lr_total_decay: float = 0.001     # StepLR gamma = decay**(step/epochs)
     checkpoint_every: int = 5
     seed: int = 0
+    precompute_nbrs: bool = False     # per-frame lists built once (exact:
+                                      # search precedes jitter, and the
+                                      # rotation aug preserves distances)
 
 
 @dataclass(frozen=True)

@@ -123,8 +123,18 @@ def make_train_step(model, system: SystemConfig, train_cfg: TrainConfig,
         pos = space.wrap(pos, _broadcast_box(box, pos))
 
         # -- neighbor search on pre-jitter positions ----------------------
-        idx, mask, overflow = _search_batch(pos, box, system.cutoff,
-                                            system.nbr_capacity)
+        # Lists may arrive precomputed (train_cfg.precompute_nbrs): the
+        # search runs on pre-jitter, rigid-rotated positions, and both
+        # wrap and the distance-sorted dense search are invariant under
+        # the +-k*pi/2 rotation augmentation, so per-frame lists computed
+        # once are exact for every epoch (the reference likewise searches
+        # before jittering, train_network_lj.py:222,228).
+        if "idx" in batch:
+            idx, mask = batch["idx"], batch["mask"]
+            overflow = jnp.asarray(False)
+        else:
+            idx, mask, overflow = _search_batch(pos, box, system.cutoff,
+                                                system.nbr_capacity)
 
         # -- jitter after the search (reference: train_network_lj.py:228) -
         pos = augment.jitter_positions(k_jit, pos, train_cfg.jitter_sigma)
@@ -195,7 +205,7 @@ def make_train_epoch(model, system: SystemConfig, train_cfg: TrainConfig,
 
     @jax.jit
     def train_epoch(state: TrainState, pos_all, force_all, feat_all,
-                    epoch_rng):
+                    epoch_rng, idx_all=None, mask_all=None):
         perm = jax.random.permutation(epoch_rng, n_frames)
         perm = perm[:n_batches * b].reshape(n_batches, b)
 
@@ -204,6 +214,9 @@ def make_train_epoch(model, system: SystemConfig, train_cfg: TrainConfig,
                      "forces": force_all[batch_idx]}
             if feat_all is not None:
                 batch["feat"] = feat_all[batch_idx]
+            if idx_all is not None:
+                batch["idx"] = idx_all[batch_idx]
+                batch["mask"] = mask_all[batch_idx]
             st, metrics = step_fn(st, batch)
             return st, metrics
 
@@ -221,7 +234,8 @@ def make_eval_epoch(model, system: SystemConfig, batch_size: int,
     n_batches = max(n_frames // batch_size, 1)
 
     @jax.jit
-    def eval_epoch(state: TrainState, pos_all, force_all, feat_all):
+    def eval_epoch(state: TrainState, pos_all, force_all, feat_all,
+                   idx_all=None, mask_all=None):
         idx = jnp.arange(n_batches * batch_size).reshape(n_batches,
                                                          batch_size)
 
@@ -230,6 +244,9 @@ def make_eval_epoch(model, system: SystemConfig, batch_size: int,
                      "forces": force_all[batch_idx]}
             if feat_all is not None:
                 batch["feat"] = feat_all[batch_idx]
+            if idx_all is not None:
+                batch["idx"] = idx_all[batch_idx]
+                batch["mask"] = mask_all[batch_idx]
             return None, eval_fn(state, batch)
 
         _, metrics = jax.lax.scan(body, None, idx)
@@ -247,8 +264,11 @@ def make_eval_step(model, system: SystemConfig, jit: bool = True):
         gt = batch["forces"]
         box, _ = _batch_box(system, batch)
         pos = space.wrap(pos, _broadcast_box(box, pos))
-        idx, mask, _ = _search_batch(pos, box, system.cutoff,
-                                     system.nbr_capacity)
+        if "idx" in batch:
+            idx, mask = batch["idx"], batch["mask"]
+        else:
+            idx, mask, _ = _search_batch(pos, box, system.cutoff,
+                                         system.nbr_capacity)
         gt_norm = normalize(gt, state.force_stat)
         bond = None
         if model.use_bond:
@@ -352,6 +372,31 @@ def _stack_dataset(dataset):
     return jnp.asarray(np.stack(pos)), jnp.asarray(np.stack(forces)), feat_all
 
 
+def _precompute_nbrs(system, pos_all, log_fn):
+    """Per-frame neighbor lists, once per dataset (one device dispatch).
+
+    Valid for every epoch: the trainer's search runs on wrapped, pre-jitter
+    positions and the rigid rotation augmentation preserves min-image
+    distances (hence the distance-sorted lists and cutoff masks)."""
+
+    @jax.jit
+    def build(frames):
+        def body(_, p):
+            pw = space.wrap(p, system.box)
+            idx, mask, ovf = dense_neighbor_list(
+                pw, system.box, system.cutoff, system.nbr_capacity)
+            return None, (idx.astype(jnp.int32), mask, ovf)
+        _, (idx, mask, ovf) = jax.lax.scan(body, None, frames)
+        return idx, mask, jnp.any(ovf)
+
+    idx, mask, ovf = build(pos_all)
+    if bool(ovf):
+        log_fn("WARNING: neighbor capacity overflow in precomputed lists "
+               "— falling back to per-step search")
+        return None, None
+    return idx, mask
+
+
 def _train_epoch_scan(model, system, train_cfg, tx, state, train_data,
                       val_data, ckpt_dir, log_fn, model_cfg=None):
     """Epoch driver on the one-dispatch-per-epoch path."""
@@ -359,23 +404,31 @@ def _train_epoch_scan(model, system, train_cfg, tx, state, train_data,
     n_frames = pos_tr.shape[0]
     train_epoch = make_train_epoch(model, system, train_cfg, tx, n_frames)
 
+    idx_tr = mask_tr = None
+    if getattr(train_cfg, "precompute_nbrs", False):
+        idx_tr, mask_tr = _precompute_nbrs(system, pos_tr, log_fn)
+
     eval_epoch = None
+    idx_va = mask_va = None
     if val_data is not None and len(val_data) >= train_cfg.batch_size:
         pos_va, force_va, feat_va = _stack_dataset(val_data)
         eval_epoch = make_eval_epoch(model, system, train_cfg.batch_size,
                                      pos_va.shape[0])
+        if idx_tr is not None:
+            idx_va, mask_va = _precompute_nbrs(system, pos_va, log_fn)
 
     rng = jax.random.PRNGKey(train_cfg.seed + 1)
     for epoch in range(train_cfg.max_epoch):
         rng, k_epoch = jax.random.split(rng)
         state, metrics = train_epoch(state, pos_tr, force_tr, feat_tr,
-                                     k_epoch)
+                                     k_epoch, idx_tr, mask_tr)
         msg = {k: float(v) for k, v in metrics.items()}
         log_fn(f"epoch {epoch}: " + ", ".join(
             f"{k}={v:.6f}" for k, v in msg.items()))
 
         if eval_epoch is not None:
-            vm = eval_epoch(state, pos_va, force_va, feat_va)
+            vm = eval_epoch(state, pos_va, force_va, feat_va,
+                            idx_va, mask_va)
             vm = {k: float(v) for k, v in vm.items()}
             log_fn(f"epoch {epoch} val: " + ", ".join(
                 f"{k}={v:.6f}" for k, v in vm.items()))

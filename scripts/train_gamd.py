@@ -51,6 +51,10 @@ def main():
                         help="frames per seed in the dataset")
     parser.add_argument("--seed_num", default=10, type=int,
                         help="number of generation seeds in the dataset")
+    parser.add_argument("--precompute_nbrs", action="store_true",
+                        help="build per-frame neighbor lists once instead "
+                             "of per step (exact: search precedes jitter; "
+                             "rotation aug preserves distances)")
     parser.add_argument("--no_pack", action="store_true",
                         help="disable the packed-dataset cache")
     parser.add_argument("--loss", default="mae", choices=["mae", "mse"])
@@ -90,6 +94,7 @@ def main():
         rotate_aug=args.rotate_aug,
         jitter_sigma=0.00025 if args.system == "dft" else 0.005,
         checkpoint_every=50 if args.system == "dft" else 5,
+        precompute_nbrs=args.precompute_nbrs,
     )
 
     if args.system == "dft":

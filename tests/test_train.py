@@ -454,3 +454,28 @@ def test_train_step_update_edge_path():
              for k in ("pos", "forces")}
     state, metrics = step(state, batch)
     assert np.isfinite(float(metrics["loss"]))
+
+
+def test_precomputed_nbrs_match_per_step_search():
+    """precompute_nbrs=True reproduces the per-step-search trainer exactly
+    (same rng stream, same lists: search precedes jitter and the rotation
+    augmentation preserves min-image distances)."""
+    from gamd_tpu.train.loop import train
+
+    system, frames = make_lj_frames(n_frames=12)
+    ds = ListDataset(frames[:8])
+    val = ListDataset(frames[8:])
+    logs_a, logs_b = [], []
+    for precompute, logs in ((False, logs_a), (True, logs_b)):
+        cfg_t = TrainConfig(max_epoch=2, batch_size=4, seed=3,
+                            precompute_nbrs=precompute)
+        train(system, TINY, cfg_t, ds, val_data=val,
+              log_fn=lambda m, logs=logs: logs.append(m))
+    # identical up to XLA fusion-order float noise in the last digit
+    import re
+    for la, lb in zip(logs_a, logs_b):
+        va = [float(x) for x in re.findall(r"=(-?[\d.]+)", la)]
+        vb = [float(x) for x in re.findall(r"=(-?[\d.]+)", lb)]
+        np.testing.assert_allclose(va, vb, rtol=1e-5, atol=1e-5)
+    assert len(logs_a) == len(logs_b)
+    assert any("val_mae" in line for line in logs_a)
