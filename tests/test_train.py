@@ -479,3 +479,28 @@ def test_precomputed_nbrs_match_per_step_search():
         np.testing.assert_allclose(va, vb, rtol=1e-5, atol=1e-5)
     assert len(logs_a) == len(logs_b)
     assert any("val_mae" in line for line in logs_a)
+
+
+def test_precomputed_nbrs_water_bond_epoch():
+    """Water (one-hot feats + bond channel) through the full epoch-scan
+    trainer with precomputed neighbor lists — the exact on-chip tip3p
+    configuration."""
+    from gamd_tpu.train.loop import train
+
+    rng = np.random.RandomState(9)
+    n = 12
+    system = SystemConfig(
+        name="tiny-water", n_atoms=n, box=8.0, cutoff=3.0, nbr_capacity=n,
+        skin=0.5, species="water", has_bonds=True,
+        masses=(15.9994, 1.008, 1.008), temperature=300.0)
+    feat = (np.arange(n) % 3 == 0).astype(np.float32)[:, None]
+    frames = [{"pos": rng.uniform(0, 8, (n, 3)).astype(np.float32),
+               "forces": rng.randn(n, 3).astype(np.float32),
+               "feat": feat} for _ in range(10)]
+    cfg_t = TrainConfig(max_epoch=2, batch_size=2, precompute_nbrs=True)
+    logs = []
+    train(system, TINY, cfg_t, ListDataset(frames[:8]),
+          val_data=ListDataset(frames[8:]),
+          log_fn=lambda m: logs.append(m))
+    assert any("epoch 1:" in line for line in logs)
+    assert all("nan" not in line for line in logs)
