@@ -37,8 +37,11 @@ def main():
     md = MDConfig(integrator="langevin", temperature=system.temperature,
                   rebuild_every=20)
     # Megakernel with the explicit replica grid dimension (round 1's vmap
-    # lowering collapsed to ~208 steps/s/replica).
-    sim = Simulation(ff.force_fn(megakernel=True), system, md)
+    # lowering collapsed to ~208 steps/s/replica). The megastep path runs
+    # the whole replica batch's neighbor-reuse window in one program.
+    k_model = int(os.environ.get("GAMD_BENCH_K_MODEL", "48")) or None
+    sim = Simulation(ff.force_fn(megakernel=True), system, md,
+                     k_model=k_model, megastep_fn=ff.megastep_fn())
     _, pos0 = lj.lj_fluid_box(system.n_atoms, 0.5)
 
     states = sim.init_replicas(jnp.asarray(pos0), n_replicas,
