@@ -29,6 +29,32 @@ import numpy as np
 
 from gamd_tpu.core import space
 
+# TPU's DEFAULT matmul precision is bf16: for constraint geometry that
+# rounds coordinates to 8 mantissa bits, and the resulting projection error
+# pumps energy into the system every step (measured: 300 K -> 2200 K in
+# 4k rigid-water steps). All matmuls/einsums here are tiny (3x3), so full
+# precision is free.
+_HI = jax.lax.Precision.HIGHEST
+
+
+def _solve3(a, b):
+    """Solve a[3,3] x = b[3] by Cramer's rule with elementwise ops only
+    (jnp.linalg.solve lowers through default-precision matmuls on TPU)."""
+    c00 = a[1, 1] * a[2, 2] - a[1, 2] * a[2, 1]
+    c01 = a[1, 2] * a[2, 0] - a[1, 0] * a[2, 2]
+    c02 = a[1, 0] * a[2, 1] - a[1, 1] * a[2, 0]
+    det = a[0, 0] * c00 + a[0, 1] * c01 + a[0, 2] * c02
+    x0 = (b[0] * c00
+          + a[0, 1] * (a[1, 2] * b[2] - b[1] * a[2, 2])
+          + a[0, 2] * (b[1] * a[2, 1] - a[1, 1] * b[2]))
+    x1 = (a[0, 0] * (b[1] * a[2, 2] - a[1, 2] * b[2])
+          + b[0] * c01
+          + a[0, 2] * (a[1, 0] * b[2] - b[1] * a[2, 0]))
+    x2 = (a[0, 0] * (a[1, 1] * b[2] - b[1] * a[2, 1])
+          + a[0, 1] * (b[1] * a[2, 0] - a[1, 0] * b[2])
+          + b[0] * c02)
+    return jnp.stack([x0, x1, x2]) / det
+
 
 class RigidWaterParams(NamedTuple):
     d_oh: float          # O-H constraint length [A]
@@ -149,7 +175,7 @@ def settle(old, new, params: RigidWaterParams):
     m_tot = p.m_o + 2.0 * p.m_h
 
     def one(old3, new3):
-        com = jnp.einsum("a,ax->x", m, new3) / m_tot
+        com = jnp.einsum("a,ax->x", m, new3, precision=_HI) / m_tot
         a1, b1, c1 = new3[0] - com, new3[1] - com, new3[2] - com
         b0, c0 = old3[1] - old3[0], old3[2] - old3[0]
 
@@ -161,8 +187,9 @@ def settle(old, new, params: RigidWaterParams):
         n2 = jnp.cross(n0, n1)
         rot = jnp.stack([n1, n2, n0])          # lab -> primed (rows)
 
-        a1p, b1p, c1p = rot @ a1, rot @ b1, rot @ c1
-        b0p, c0p = rot @ b0, rot @ c0
+        mv = lambda A, x: jnp.einsum("ij,j->i", A, x, precision=_HI)
+        a1p, b1p, c1p = mv(rot, a1), mv(rot, b1), mv(rot, c1)
+        b0p, c0p = mv(rot, b0), mv(rot, c0)
 
         sinphi = jnp.clip(a1p[2] / ra, -1.0, 1.0)
         cosphi = jnp.sqrt(1.0 - sinphi**2)
@@ -197,7 +224,8 @@ def settle(old, new, params: RigidWaterParams):
                               r[2]])
 
         out = jnp.stack([rz(a2), rz(b2), rz(c2)])
-        return out @ rot + com                 # rows @ rot == rot^T applied
+        # rows @ rot == rot^T applied
+        return jnp.einsum("ij,jk->ik", out, rot, precision=_HI) + com
 
     return jax.vmap(one)(old, new)
 
@@ -244,16 +272,17 @@ def _rattle_velocities_impl(pos, vel, inv_m):
     def one(x, v):
         e = jnp.stack([(x[i] - x[j]) / jnp.linalg.norm(x[i] - x[j])
                        for i, j in _PAIRS])              # [3,3] unit bonds
-        g = jnp.stack([jnp.dot(e[k], v[i] - v[j])
+        g = jnp.stack([jnp.sum(e[k] * (v[i] - v[j]))
                        for k, (i, j) in enumerate(_PAIRS)])
         # M_kl = (sum_a S_ka S_la / m_a) e_k . e_l ; S = +1 first, -1 second.
         s = jnp.zeros((3, 3)).at[0, 0].set(1).at[0, 1].set(-1) \
             .at[1, 0].set(1).at[1, 2].set(-1) \
             .at[2, 1].set(1).at[2, 2].set(-1)
-        c = jnp.einsum("ka,la,a->kl", s, s, inv_m)
-        mat = c * (e @ e.T)
-        tau = jnp.linalg.solve(mat, -g)
-        dv = jnp.einsum("k,ka,kx->ax", tau, s, e) * inv_m[:, None]
+        c = jnp.einsum("ka,la,a->kl", s, s, inv_m, precision=_HI)
+        mat = c * jnp.einsum("ka,la->kl", e, e, precision=_HI)
+        tau = _solve3(mat, -g)
+        dv = jnp.einsum("k,ka,kx->ax", tau, s, e,
+                        precision=_HI) * inv_m[:, None]
         return v + dv
 
     return jax.vmap(one)(pos, vel)

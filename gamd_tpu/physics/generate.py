@@ -46,6 +46,69 @@ def random_rotation_matrix(rng: np.random.RandomState):
     return rz @ ry @ rx
 
 
+def _record_seeds_batched(sim: Simulation, states, out_dir: str, seeds,
+                          frames_per_seed: int, record_interval: int,
+                          record_force, frames_per_dispatch: int,
+                          log_every_frames: int, postprocess=None):
+    """Advance ALL seeds' trajectories in lockstep: one vmapped device
+    program per frame block. A few hundred atoms nowhere near fills a TPU
+    core, so R independent seeds cost ~the wall time of one — measured
+    ~10x over the sequential path for the 774-atom water sets.
+
+    `states` is a stacked integrator state (leading seed axis on every
+    leaf); `record_force` maps [N,3]->[N,3] and is vmapped here.
+    """
+    n_seeds = len(seeds)
+    key = ("recorded-batch", frames_per_dispatch, record_interval,
+           id(record_force), n_seeds)
+    if key not in sim._run_cache:
+        # vmap over the whole single-seed runner: record_force and the
+        # neighbor build get batched implicitly.
+        single = sim._make_run_recorded(frames_per_dispatch, record_interval,
+                                        record_force)
+        sim._run_cache[key] = jax.jit(jax.vmap(single))
+    run = sim._run_cache[key]
+
+    t = 0
+    while t < frames_per_seed:
+        n_f = min(frames_per_dispatch, frames_per_seed - t)
+        if n_f != frames_per_dispatch:
+            runner = jax.jit(jax.vmap(sim._make_run_recorded(
+                n_f, record_interval, record_force)))
+        else:
+            runner = run
+        states, ovf, pos_f, vel_f, force_f, temp = runner(states)
+        if bool(jnp.any(ovf)):
+            raise RuntimeError(
+                "neighbor capacity overflow during generation; "
+                "increase SystemConfig.nbr_capacity")
+        # [R, F, N, 3] batches -> per-seed per-frame npz files.
+        pos_np = np.asarray(pos_f, np.float32)
+        vel_np = np.asarray(vel_f, np.float32) / units.M_PER_S_TO_INTERNAL
+        force_np = (np.asarray(force_f, np.float32)
+                    / units.KJ_MOL_NM_TO_INTERNAL)
+        for s_i, seed in enumerate(seeds):
+            for i in range(n_f):
+                p, v, f = pos_np[s_i, i], vel_np[s_i, i], force_np[s_i, i]
+                if postprocess is not None:
+                    p, v, f = postprocess(p, v, f)
+                np.savez(os.path.join(out_dir, f"data_{seed}_{t + i}.npz"),
+                         pos=np.ascontiguousarray(p),
+                         vel=np.ascontiguousarray(v),
+                         forces=np.ascontiguousarray(f))
+        t += n_f
+        if log_every_frames:
+            temps = " ".join(f"{float(temp[s, -1]):.0f}"
+                             for s in range(n_seeds))
+            print(f"frames {t}/{frames_per_seed} x {n_seeds} seeds "
+                  f"T=[{temps}]K", flush=True)
+    return states
+
+
+def _stack_states(states_list):
+    return jax.tree.map(lambda *xs: jnp.stack(xs), *states_list)
+
+
 def _record_seed(sim: Simulation, state, out_dir: str, seed: int,
                  frames_per_seed: int, record_interval: int, record_force,
                  frames_per_dispatch: int, log_every_frames: int,
@@ -151,16 +214,19 @@ def generate_water_dataset(out_dir, seeds=10, frames_per_seed=1000,
     # intramolecular restoring force), then snap onto the constraints.
     minimize_force = jax.jit(lambda p: w.tip3p_forces(p, box, params))
 
+    states = []
     for seed in range(seeds):
         pos = w.water_box(n_molecules, box, params, seed=seed)
         pos, _ = fire_minimize(minimize_force, jnp.asarray(pos),
                                n_steps=minimize_steps, max_step=0.05)
         if constraint is not None:
             pos = constraint.project_initial(pos)
-        state = sim.init_state(pos, rng=jax.random.PRNGKey(2000 + seed))
-        _record_seed(sim, state, out_dir, seed, frames_per_seed,
-                     record_interval, record_force, frames_per_dispatch,
-                     log_every_frames)
+        states.append(sim.init_state(pos,
+                                     rng=jax.random.PRNGKey(2000 + seed)))
+    _record_seeds_batched(sim, _stack_states(states), out_dir,
+                          list(range(seeds)), frames_per_seed,
+                          record_interval, record_force,
+                          frames_per_dispatch, log_every_frames)
     return out_dir
 
 
@@ -291,6 +357,7 @@ def generate_tip4p_dataset(out_dir, seeds=10, frames_per_seed=1000,
         vel4, _ = w.expand_with_m_sites(v, np.zeros_like(v), box, params)
         return pos4, vel4, f4
 
+    states = []
     for seed in range(seeds):
         pos = w.water_box(n_molecules, box,
                           w.TIP3PParams(r_oh=params.r_oh,
@@ -299,8 +366,11 @@ def generate_tip4p_dataset(out_dir, seeds=10, frames_per_seed=1000,
                                n_steps=minimize_steps, max_step=0.05)
         if constraint is not None:
             pos = constraint.project_initial(pos)
-        state = sim.init_state(pos, rng=jax.random.PRNGKey(3000 + seed))
-        _record_seed(sim, state, out_dir, seed, frames_per_seed,
-                     record_interval, record_force, frames_per_dispatch,
-                     log_every_frames, postprocess=to_4site)
+        states.append(sim.init_state(pos,
+                                     rng=jax.random.PRNGKey(3000 + seed)))
+    _record_seeds_batched(sim, _stack_states(states), out_dir,
+                          list(range(seeds)), frames_per_seed,
+                          record_interval, record_force,
+                          frames_per_dispatch, log_every_frames,
+                          postprocess=to_4site)
     return out_dir

@@ -46,10 +46,15 @@ def rotate_sample(rng, pos, forces, box, prob=0.3, rotate_box=False,
     r = random_flip_rotation(rng, prob)
     p = jnp.mod(pos, box) if box is not None else pos
     offset = jnp.mean(p, axis=0)
-    p = (p - offset) @ r + offset
-    f = forces @ r
+    # HIGHEST precision: TPU's default matmul precision is bf16, which
+    # would round the COORDINATES to 8 mantissa bits (~0.05-0.1 A at these
+    # box sizes) — 20x the intended 0.005 A jitter, silently corrupting
+    # every rotated training sample. FLOP cost here is negligible.
+    hi = jax.lax.Precision.HIGHEST
+    p = jnp.matmul(p - offset, r, precision=hi) + offset
+    f = jnp.matmul(forces, r, precision=hi)
     if rotate_box and box_vec is not None:
-        box_vec = jnp.abs(box_vec @ r)
+        box_vec = jnp.abs(jnp.matmul(box_vec, r, precision=hi))
         return p, f, box_vec
     return p, f, box_vec
 

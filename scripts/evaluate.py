@@ -52,6 +52,7 @@ def main():
     import jax
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_default_matmul_precision", "highest")
     import numpy as np
 
     from gamd_tpu.core import units

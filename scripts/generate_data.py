@@ -30,6 +30,11 @@ def main():
                         help="frames recorded per device program")
     args = parser.parse_args()
 
+    import jax
+    # TPU default matmul precision is bf16 — full precision for ground
+    # truth (constraint/rotation math; negligible cost in generation).
+    jax.config.update("jax_default_matmul_precision", "highest")
+
     if args.system == "rpbe":
         from gamd_tpu.physics.generate import generate_rpbe_surrogate
         generate_rpbe_surrogate(args.out, frames_per_box=args.frames,

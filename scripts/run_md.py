@@ -71,6 +71,7 @@ def main():
     import jax
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_default_matmul_precision", "highest")
     import jax.numpy as jnp
     import numpy as np
 

@@ -60,9 +60,24 @@ def main():
     parser.add_argument("--loss", default="mae", choices=["mae", "mse"])
     parser.add_argument("--num_device", default=-1, type=int,
                         help="devices for data parallelism (-1 = all)")
+    parser.add_argument("--jitter_sigma", default=None, type=float,
+                        help="override position-jitter sigma (A)")
+    parser.add_argument("--cpu", action="store_true",
+                        help="force the CPU backend (the axon TPU plugin "
+                             "ignores JAX_PLATFORMS)")
+    parser.add_argument("--matmul_precision", default="high",
+                        choices=["default", "high", "highest"],
+                        help="TPU matmul precision. 'default' is bf16 — "
+                             "measured to corrupt rotated positions by "
+                             "~0.1 A and add ~1%% force noise; 'high' "
+                             "(bf16x3) restores ~f32 quality at ~3x the "
+                             "matmul cost")
     args = parser.parse_args()
 
     import jax
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_default_matmul_precision", args.matmul_precision)
 
     from gamd_tpu.core.config import ModelConfig, TrainConfig, get_preset
     from gamd_tpu.parallel.mesh import make_mesh
@@ -92,7 +107,8 @@ def main():
         batch_size=args.batch_size, loss=args.loss,
         lambda_net_force=0.5e-2 if args.system == "dft" else 1e-3,
         rotate_aug=args.rotate_aug,
-        jitter_sigma=0.00025 if args.system == "dft" else 0.005,
+        jitter_sigma=(args.jitter_sigma if args.jitter_sigma is not None
+                      else (0.00025 if args.system == "dft" else 0.005)),
         checkpoint_every=50 if args.system == "dft" else 5,
         precompute_nbrs=args.precompute_nbrs,
     )
