@@ -93,7 +93,14 @@ class RigidWater:
 
     def __init__(self, n_molecules: int, box: float,
                  params: RigidWaterParams = tip3p_rigid_params(),
-                 method: str = "settle"):
+                 method: str = "shake"):
+        # Default is SHAKE: its corrections act along the old bond
+        # directions (the RATTLE Lagrange structure), and measured NVE
+        # energy drift is flat at dt in {0.5,1,2} fs. The analytic SETTLE
+        # placement satisfies the constraints to 1e-6 A but pumps energy
+        # (~exponential T growth, worse at smaller dt — a systematic
+        # placement bias, under investigation); keep method="settle" only
+        # for debugging until the placement is fixed.
         self.n_molecules = n_molecules
         self.box = box
         self.params = params

@@ -264,3 +264,52 @@ def test_generate_rigid_water_smoke(tmp_path):
     f_expect = np.asarray(w.tip3p_forces_rigid(
         jnp.asarray(d["pos"]), 20.0, params)) / units.KJ_MOL_NM_TO_INTERNAL
     np.testing.assert_allclose(d["forces"], f_expect, atol=1e-4)
+
+
+def test_rigid_nve_energy_conservation():
+    """NVE + rigid constraints must conserve total energy — the round-2
+    SETTLE placement bug pumped energy exponentially (worse at SMALLER dt);
+    SHAKE/RATTLE holds it flat. Guard the default method."""
+    import jax
+    from gamd_tpu.core.config import MDConfig, get_preset
+    from gamd_tpu.md import integrators as integ
+    from gamd_tpu.md.simulate import Simulation
+    from gamd_tpu.physics import water as w
+    from gamd_tpu.physics.minimize import fire_minimize
+
+    n_mol, box = 8, 6.4
+    system = get_preset("tip3p", n_atoms=3 * n_mol, box=box, cutoff=3.0,
+                        nbr_capacity=24)
+    params = w.TIP3PParams(cutoff=box / 2 - 0.01)
+    constraint = RigidWater(n_mol, box,
+                            tip3p_rigid_params(params.r_oh, params.theta0))
+    pos = w.water_box(n_mol, box, params, seed=1)
+    pos, _ = fire_minimize(
+        jax.jit(lambda p: w.tip3p_forces(p, box, params)),
+        jnp.asarray(pos), n_steps=800, max_step=0.05)
+    pos = constraint.project_initial(pos)
+    masses = jnp.asarray(system.atom_masses())
+
+    md0 = MDConfig(integrator="langevin", temperature=300.0, dt_fs=1.0,
+                   friction_per_ps=5.0, rebuild_every=10)
+    sim0 = Simulation(w.tip3p_force_fn(box, params, rigid=True), system,
+                      md0, constraint=constraint)
+    st0 = sim0.init_state(pos, rng=jax.random.PRNGKey(2))
+    r0 = sim0.run(st0, 800)
+
+    md = MDConfig(integrator="nve", dt_fs=2.0, rebuild_every=10)
+    sim = Simulation(w.tip3p_force_fn(box, params, rigid=True), system, md,
+                     constraint=constraint)
+    st = sim.init_state(r0.state.pos, vel=r0.state.vel)
+
+    def etot(s):
+        return (float(integ.kinetic_energy(s.vel, masses))
+                + float(w.tip3p_energy_rigid(jnp.mod(s.pos, box), box,
+                                             params)))
+
+    e0 = etot(st)
+    r = sim.run(st, 1000)
+    e1 = etot(r.state)
+    # |E| scale here is ~180 kJ/mol; drift beyond a few kJ/mol over 2 ps
+    # means the projections are doing work.
+    assert abs(e1 - e0) < 6.0, (e0, e1)
