@@ -399,10 +399,22 @@ def _precompute_nbrs(system, pos_all, log_fn):
 
 def _train_epoch_scan(model, system, train_cfg, tx, state, train_data,
                       val_data, ckpt_dir, log_fn, model_cfg=None):
-    """Epoch driver on the one-dispatch-per-epoch path."""
+    """Epoch driver on the epoch-scan path.
+
+    Epochs run as a SMALL number of device dispatches: one where possible,
+    split into bounded chunks for large work — very long single programs
+    (~2250 fwd+bwd steps at N=774) reproducibly fault the TPU worker on
+    this environment's tunneled chip, so dispatch size is capped at
+    ~400k atom-steps (LJ-258 epochs stay near one dispatch)."""
     pos_tr, force_tr, feat_tr = _stack_dataset(train_data)
     n_frames = pos_tr.shape[0]
-    train_epoch = make_train_epoch(model, system, train_cfg, tx, n_frames)
+    b = train_cfg.batch_size
+    steps_per_epoch = max(n_frames // b, 1)
+    work = steps_per_epoch * system.n_atoms
+    n_chunks = max(1, -(-work // 400_000))
+    chunk_frames = max((n_frames // n_chunks) // b * b, b)
+    train_epoch = make_train_epoch(model, system, train_cfg, tx,
+                                   chunk_frames)
 
     idx_tr = mask_tr = None
     if getattr(train_cfg, "precompute_nbrs", False):
@@ -419,9 +431,26 @@ def _train_epoch_scan(model, system, train_cfg, tx, state, train_data,
 
     rng = jax.random.PRNGKey(train_cfg.seed + 1)
     for epoch in range(train_cfg.max_epoch):
-        rng, k_epoch = jax.random.split(rng)
-        state, metrics = train_epoch(state, pos_tr, force_tr, feat_tr,
-                                     k_epoch, idx_tr, mask_tr)
+        rng, k_perm, k_epoch = jax.random.split(rng, 3)
+        if n_chunks == 1:
+            state, metrics = train_epoch(state, pos_tr, force_tr, feat_tr,
+                                         k_epoch, idx_tr, mask_tr)
+        else:
+            perm = jax.random.permutation(k_perm, n_frames)
+            chunk_metrics = []
+            for c in range(n_chunks):
+                sel = perm[c * chunk_frames:(c + 1) * chunk_frames]
+                if sel.shape[0] < chunk_frames:
+                    break
+                state, m = train_epoch(
+                    state, pos_tr[sel], force_tr[sel],
+                    None if feat_tr is None else feat_tr[sel],
+                    jax.random.fold_in(k_epoch, c),
+                    None if idx_tr is None else idx_tr[sel],
+                    None if mask_tr is None else mask_tr[sel])
+                chunk_metrics.append(m)
+            metrics = jax.tree.map(lambda *xs: jnp.mean(jnp.stack(xs)),
+                                   *chunk_metrics)
         msg = {k: float(v) for k, v in metrics.items()}
         log_fn(f"epoch {epoch}: " + ", ".join(
             f"{k}={v:.6f}" for k, v in msg.items()))
