@@ -271,8 +271,11 @@ def generate_rpbe_surrogate(out_path, n_molecules=64, frames_per_box=1000,
     for b_i, box in enumerate(box_sizes):
         box = float(box)
         params = w.TIP3PParams(cutoff=min(6.0, box / 2 - 0.01))
+        # ~126 atoms sit inside cutoff+skin (6.7 A) at liquid density —
+        # the tip3p preset's K=96 (sized for its 4.2 A cutoff) overflows.
         system = get_preset("tip3p", n_atoms=n_atoms, box=box,
-                            cutoff=min(6.0, box / 2 - 0.01))
+                            cutoff=min(6.0, box / 2 - 0.01),
+                            nbr_capacity=176)
         constraint = RigidWater(n_molecules, box,
                                 tip3p_rigid_params(params.r_oh,
                                                    params.theta0)) if rigid \
