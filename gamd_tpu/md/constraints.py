@@ -106,6 +106,13 @@ class RigidWater:
         self.params = params
         self.method = method
         self.n_constraints = 3 * n_molecules
+        if method == "settle":
+            import warnings
+            warnings.warn(
+                "RigidWater(method='settle'): the in-repo SETTLE placement "
+                "is known to pump energy (systematic placement bias, worse "
+                "at smaller dt) — use the default method='shake' for "
+                "production runs until this is fixed.", stacklevel=2)
 
     # -- integrator hooks ---------------------------------------------------
 
@@ -163,9 +170,10 @@ def _canonical_triangle(p: RigidWaterParams):
 
 
 @partial(jax.jit, static_argnums=(2,))
-def settle(old, new, params: RigidWaterParams):
-    """Project `new` [M,3,3] onto the constraint manifold, given `old`
-    (constraint-satisfying) positions. Both in molecule-whole coordinates.
+def settle_correction(old, new, params: RigidWaterParams):
+    """Constraint correction Delta [M,3,3] such that new + Delta lies on the
+    constraint manifold, given `old` (constraint-satisfying) positions. Both
+    inputs in molecule-whole coordinates.
 
     Closed-form Miyamoto-Kollman: express the constrained triangle as the
     canonical monomer rotated by Rz(theta) Rx(phi) Ry(psi) about the new
@@ -175,15 +183,33 @@ def settle(old, new, params: RigidWaterParams):
     about z (constraint impulses act along old bond directions, so they
     exert no torque; the COM condition makes the torque origin-free, which
     is why the old coordinates can be taken relative to old-O).
+
+    f32 numerics (the round-2 "placement bias" root cause): every
+    COM-relative vector here is assembled from PAIR DIFFERENCES of nearby
+    atoms — the absolute center of mass is never materialized. Forming
+    `com` from ~box-sized coordinates costs ~2e-6 A of f32 rounding, and
+    sin(phi) divides the O-to-COM z-offset by ra ~ 0.066 A, amplifying
+    that rounding ~15x into a rigid ROTATION of the placed molecule:
+    constraint-null-space noise that the RATTLE velocity projection cannot
+    remove, injected at constant magnitude per projection — hence NVE
+    heating that scales as 1/dt^3 per unit time (measured 1:5:56 for
+    dt = 2:1:0.5 fs against the 1:8:64 prediction). In relative arithmetic
+    (differences of atoms < 1 A apart are exact or near-exact in f32) the
+    self-map noise drops to SHAKE's level and the correction form also
+    avoids re-quantizing the output against the box origin.
     """
     p = params
     ra, rb, rc = _canonical_triangle(p)
-    m = jnp.array([p.m_o, p.m_h, p.m_h])
     m_tot = p.m_o + 2.0 * p.m_h
+    w_h = p.m_h / m_tot
 
     def one(old3, new3):
-        com = jnp.einsum("a,ax->x", m, new3, precision=_HI) / m_tot
-        a1, b1, c1 = new3[0] - com, new3[1] - com, new3[2] - com
+        # COM-relative positions from pair differences (no absolute COM):
+        # r0 - com = w_h * ((r0-r1) + (r0-r2)), etc.
+        d01, d02 = new3[0] - new3[1], new3[0] - new3[2]
+        a1 = w_h * (d01 + d02)
+        b1 = a1 - d01
+        c1 = a1 - d02
         b0, c0 = old3[1] - old3[0], old3[2] - old3[0]
 
         # Orthonormal frame: z = old-plane normal, a1 in the y-z plane.
@@ -231,10 +257,18 @@ def settle(old, new, params: RigidWaterParams):
                               r[2]])
 
         out = jnp.stack([rz(a2), rz(b2), rz(c2)])
-        # rows @ rot == rot^T applied
-        return jnp.einsum("ij,jk->ik", out, rot, precision=_HI) + com
+        # rows @ rot == rot^T applied; subtract the unconstrained
+        # COM-relative positions -> correction, all in ~1 A arithmetic.
+        return (jnp.einsum("ij,jk->ik", out, rot, precision=_HI)
+                - jnp.stack([a1, b1, c1]))
 
     return jax.vmap(one)(old, new)
+
+
+def settle(old, new, params: RigidWaterParams):
+    """Project `new` [M,3,3] onto the constraint manifold, given `old`
+    (constraint-satisfying) positions (see settle_correction)."""
+    return new + settle_correction(old, new, params)
 
 
 # ---------------------------------------------------------------------------

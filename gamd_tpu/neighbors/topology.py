@@ -53,11 +53,13 @@ def neighbor_bond_channel(idx):
     """Bond channel over a padded neighbor list.
 
     Args:
-        idx: [N, K] neighbor ids (center = row index).
+        idx: [..., N, K] neighbor ids (center = second-to-last axis index;
+            leading axes, e.g. replicas, broadcast — the topology is
+            identical across them).
 
     Returns:
-        [N, K] float32 bond indicator.
+        [..., N, K] float32 bond indicator.
     """
-    n = idx.shape[0]
+    n = idx.shape[-2]
     center = jnp.arange(n, dtype=idx.dtype)[:, None]
     return water_bond_mask(center, idx)

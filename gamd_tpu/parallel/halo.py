@@ -51,14 +51,21 @@ class SlabState(NamedTuple):
     right_n: jnp.ndarray    # [P]
     rng: jnp.ndarray
     overflow: jnp.ndarray   # slab or strip capacity exceeded at sort time
+    aux: dict = {}          # per-atom rows sorted alongside pos/vel
+                            # (e.g. "aid" global atom ids, "h0" node
+                            # embeddings, "mass"); zero-padded — every
+                            # consumer must gate on `valid`
 
 
 def sort_into_slabs(pos, vel, box, n_slabs, capacity, halo_width,
-                    strip_capacity, rng):
+                    strip_capacity, rng, extras=None):
     """Global re-sort (runs replicated; called once per chunk).
 
     Returns a SlabState with positions grouped by slab of x, padded to
     `capacity` per slab; padding rows carry a far-away sentinel position.
+    `extras` is an optional dict of per-atom arrays [N, ...] (species
+    embeddings, global atom ids, masses, ...) scattered into the same
+    slab-sorted [P*C, ...] layout (zero padding) and carried in `.aux`.
     """
     n = pos.shape[0]
     slab_w = box / n_slabs
@@ -81,6 +88,12 @@ def sort_into_slabs(pos, vel, box, n_slabs, capacity, halo_width,
     vel_b = vel_b.at[tgt_slab, tgt_rank].set(vel[order])
     val_b = val_b.at[tgt_slab, tgt_rank].set(True)
     pos_b, vel_b, val_b = pos_b[:-1], vel_b[:-1], val_b[:-1]
+
+    aux = {}
+    for name, arr in (extras or {}).items():
+        a_b = jnp.zeros((n_slabs + 1, capacity) + arr.shape[1:], arr.dtype)
+        a_b = a_b.at[tgt_slab, tgt_rank].set(arr[order])
+        aux[name] = a_b[:-1].reshape((-1,) + arr.shape[1:])
 
     # Strip selection per slab: distance of x to the slab's boundaries.
     slab_lo = (jnp.arange(n_slabs, dtype=posw.dtype) * slab_w)[:, None]
@@ -107,7 +120,7 @@ def sort_into_slabs(pos, vel, box, n_slabs, capacity, halo_width,
         left_idx=left_idx.reshape(-1), right_idx=right_idx.reshape(-1),
         left_val=left_val.reshape(-1), right_val=right_val.reshape(-1),
         left_n=left_n, right_n=right_n, rng=rng,
-        overflow=slab_overflow | ovf_l | ovf_r)
+        overflow=slab_overflow | ovf_l | ovf_r, aux=aux)
 
 
 def gather_from_slabs(state: SlabState, n_atoms):

@@ -413,7 +413,11 @@ def _train_epoch_scan(model, system, train_cfg, tx, state, train_data,
     work = steps_per_epoch * system.n_atoms
     n_chunks = max(1, -(-work // 400_000))
     chunk_frames = max((n_frames // n_chunks) // b * b, b)
+    # n_chunks==1 passes the FULL arrays to train_epoch, so the in-program
+    # permutation must range over all n_frames (chunk_frames would
+    # permanently exclude the tail frames from every epoch).
     train_epoch = make_train_epoch(model, system, train_cfg, tx,
+                                   n_frames if n_chunks == 1 else
                                    chunk_frames)
 
     idx_tr = mask_tr = None

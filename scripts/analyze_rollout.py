@@ -128,6 +128,10 @@ def main():
         if args.integrator != "langevin" or constraint is not None:
             parser.error("--megastep requires langevin and an unconstrained "
                          "system")
+        if args.cpu:
+            print("WARNING: --megastep --cpu runs the interpret-mode kernel, "
+                  "whose murmur3-hash Gaussian stream is test-quality "
+                  "randomness only — do not use for production rollouts")
         megastep_fn = ff.megastep_fn(interpret=args.cpu)
     sim = Simulation(
         ff.force_fn(megakernel=args.megakernel or args.megastep,

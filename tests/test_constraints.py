@@ -270,10 +270,14 @@ def test_generate_rigid_water_smoke(tmp_path):
                                atol=5e-2)
 
 
-def test_rigid_nve_energy_conservation():
+@pytest.mark.parametrize("method", ["shake", "settle"])
+def test_rigid_nve_energy_conservation(method):
     """NVE + rigid constraints must conserve total energy — the round-2
-    SETTLE placement bug pumped energy exponentially (worse at SMALLER dt);
-    SHAKE/RATTLE holds it flat. Guard the default method."""
+    SETTLE placement defect pumped energy exponentially (worse at SMALLER
+    dt; root cause: absolute-COM f32 rounding amplified ~15x by the
+    sin(phi) = z/ra division into null-space rotation noise). The round-3
+    relative-coordinate rewrite (settle_correction) holds NVE flat at
+    SHAKE's level — both branches are guarded here."""
     import jax
     from gamd_tpu.core.config import MDConfig, get_preset
     from gamd_tpu.md import integrators as integ
@@ -286,7 +290,8 @@ def test_rigid_nve_energy_conservation():
                         nbr_capacity=24)
     params = w.TIP3PParams(cutoff=box / 2 - 0.01)
     constraint = RigidWater(n_mol, box,
-                            tip3p_rigid_params(params.r_oh, params.theta0))
+                            tip3p_rigid_params(params.r_oh, params.theta0),
+                            method=method)
     pos = w.water_box(n_mol, box, params, seed=1)
     pos, _ = fire_minimize(
         jax.jit(lambda p: w.tip3p_forces(p, box, params)),

@@ -20,9 +20,9 @@ from gamd_tpu.parallel.halo_gnn import make_halo_gnn_force, make_halo_gnn_md
 from gamd_tpu.parallel.mesh import make_mesh
 from gamd_tpu.physics import lennard_jones as lj
 
-CUTOFF = 3.4
+CUTOFF = 5.0
 SKIN = 0.5
-K = 24
+K = 32
 
 
 def _system(n=512, seed=0):
@@ -97,6 +97,174 @@ def test_halo_gnn_forces_match_single_device():
                                    rtol=1e-4)
         checked += 1
     assert checked == 512
+
+
+def _water_model(seed=0):
+    cfg = ModelConfig(use_layer_norm=True)
+    model = GAMDNet(cfg=cfg, species="water", use_bond=True)
+    dummy_pos = jnp.zeros((1, 9, 3))
+    dummy_idx = jnp.zeros((1, 9, 4), jnp.int32)
+    dummy_mask = jnp.zeros((1, 9, 4), bool)
+    params = model.init(
+        jax.random.PRNGKey(seed), dummy_pos, dummy_idx, dummy_mask, 10.0,
+        0.5, 2.0, node_feat=jnp.zeros((1, 9, 1)),
+        bond=jnp.zeros((1, 9, 4)), train=False)["params"]
+    mp = pack_params(params, cfg)
+    return cfg, mp, params
+
+
+def _water_system(n_mol=258, box=20.0, seed=3):
+    from gamd_tpu.physics import water as w
+
+    pos = w.water_box(n_mol, box, seed=seed)
+    n = 3 * n_mol
+    onehot = (np.arange(n) % 3 == 0).astype(np.float32)[:, None]
+    return jnp.asarray(pos), jnp.asarray(onehot), n
+
+
+WCUT, WSKIN, WK = 4.2, 0.5, 96
+
+
+def _water_h0(params, onehot):
+    enc = params["node_encoder"]
+    return onehot @ enc["kernel"] + enc["bias"]
+
+
+def test_halo_gnn_water_forces_match_single_device():
+    """Water species (per-atom h0 through aux) + O-H bond channel across
+    halo boundaries must reproduce the single-device forward per atom
+    (VERDICT round-2 weak #5: halo_gnn supported only the LJ broadcast
+    embedding)."""
+    from gamd_tpu.neighbors.topology import neighbor_bond_channel
+
+    box, n_slabs = 20.0, 4
+    pos, onehot, n = _water_system()
+    cfg, mp, params = _water_model()
+    h0 = _water_h0(params, onehot)
+    mesh = make_mesh(n_slabs)
+    cap = 384
+    aid = jnp.arange(n, dtype=jnp.int32)
+
+    st = sort_into_slabs(pos, jnp.zeros_like(pos), box, n_slabs, cap,
+                         WCUT + WSKIN, cap, jax.random.PRNGKey(0),
+                         extras={"h0": h0, "aid": aid})
+    assert not bool(st.overflow)
+
+    force_fn = make_halo_gnn_force(
+        mesh, mp, box, n_slabs, WCUT, WSKIN, WK, None,
+        length_mean=2.8, length_std=1.1, use_bond=True, per_atom_h0=True)
+    f_slab, ovf = force_fn(st)
+    assert not bool(ovf)
+
+    posw = space.wrap(pos, box)
+    idx, mask, _ = dense_neighbor_list(posw, box, WCUT, WK)
+    bond = neighbor_bond_channel(idx)
+    f_ref = np.asarray(reference_forward(posw, idx, mask, h0, mp, box,
+                                         None, 2.8, 1.1, bond=bond))
+
+    rows_aid = np.asarray(st.aux["aid"])
+    rows_val = np.asarray(st.valid)
+    f_rows = np.asarray(f_slab)
+    checked = 0
+    for r in range(rows_aid.shape[0]):
+        if not rows_val[r]:
+            continue
+        np.testing.assert_allclose(f_rows[r], f_ref[rows_aid[r]],
+                                   atol=3e-4, rtol=1e-4)
+        checked += 1
+    assert checked == n
+
+
+def test_halo_gnn_water_md_migration_parity():
+    """run_halo_gnn_md with re-sorts between chunks must track a
+    single-device trajectory while atoms migrate across slab boundaries
+    (>=3 re-sort cycles; deterministic gamma=0 Verlet so the two paths are
+    comparable step for step)."""
+    from gamd_tpu.neighbors.topology import neighbor_bond_channel
+    from gamd_tpu.parallel.halo_gnn import run_halo_gnn_md
+
+    box, n_slabs = 20.0, 4
+    pos, onehot, n = _water_system()
+    cfg, mp, params = _water_model()
+    h0 = _water_h0(params, onehot)
+    mesh = make_mesh(n_slabs)
+    cap = 384
+    aid = jnp.arange(n, dtype=jnp.int32)
+    masses = jnp.asarray(np.where(np.arange(n) % 3 == 0, 15.9994, 1.008)
+                         .astype(np.float32))
+
+    rng = np.random.RandomState(7)
+    vel = jnp.asarray(rng.randn(n, 3).astype(np.float32) * 0.02)
+    dt_fs, chunk_steps, n_chunks = 2.0, 10, 3
+    funit = 1e-3
+
+    chunk_fn = make_halo_gnn_md(
+        mesh, mp, box, n_slabs, WCUT, WSKIN, WK, None,
+        length_mean=2.8, length_std=1.1, masses_scalar=0.0,
+        temperature=300.0, dt_fs=dt_fs, friction_per_ps=0.0,
+        force_unit=funit, use_bond=True, per_atom_h0=True,
+        per_atom_mass=True)
+    st, ovf = run_halo_gnn_md(
+        mesh, chunk_fn, pos, vel, box, n_slabs, cap, cap, WCUT + WSKIN,
+        n_chunks * chunk_steps, chunk_steps, jax.random.PRNGKey(9),
+        extras={"h0": h0, "aid": aid, "mass": masses})
+    assert not bool(ovf)
+
+    # Single-device deterministic reference: same Verlet splitting, list
+    # rebuilt every step (the halo path builds its rect list per force
+    # call), force on wrapped positions.
+    from gamd_tpu.core import units as U
+    dt = dt_fs * U.FS
+    m = masses[:, None]
+
+    def force(p):
+        pw = space.wrap(p, box)
+        idx, mask, _ = dense_neighbor_list(pw, box, WCUT, WK)
+        bond = neighbor_bond_channel(idx)
+        return reference_forward(pw, idx, mask, h0, mp, box, None,
+                                 2.8, 1.1, bond=bond) * funit
+
+    @jax.jit
+    def run_ref(p, v):
+        f = force(p)
+        def step(carry, _):
+            p, v, f = carry
+            v = v + 0.5 * dt * f / m
+            p2 = p + dt * v
+            f2 = force(p2)
+            v = v + 0.5 * dt * f2 / m
+            return (p2, v, f2), None
+        (p, v, _), _ = jax.lax.scan(step, (p, v, f), None,
+                                    length=n_chunks * chunk_steps)
+        return p, v
+
+    # The halo chunk recomputes f at chunk start (cheap, stateless), which
+    # matches this reference exactly since force is deterministic in p.
+    p_ref, v_ref = run_ref(pos, vel)
+    p_ref = np.asarray(space.wrap(p_ref, box))
+
+    rows_aid = np.asarray(st.aux["aid"])
+    rows_val = np.asarray(st.valid)
+    p_rows = np.asarray(space.wrap(st.pos, box))
+    # Migration actually happened: final slab of some atom differs from its
+    # initial slab.
+    slab_w = box / n_slabs
+    init_slab = np.clip((np.asarray(space.wrap(pos, box))[:, 0] // slab_w)
+                        .astype(int), 0, n_slabs - 1)
+    moved = 0
+    checked = 0
+    for r in range(rows_aid.shape[0]):
+        if not rows_val[r]:
+            continue
+        a = rows_aid[r]
+        d = p_rows[r] - p_ref[a]
+        d -= box * np.round(d / box)
+        np.testing.assert_allclose(d, 0.0, atol=5e-3)
+        final_slab = min(int(p_rows[r, 0] // slab_w), n_slabs - 1)
+        moved += int(final_slab != init_slab[a])
+        checked += 1
+    assert checked == n
+    assert moved > 0, "no atom crossed a slab boundary - test too weak"
 
 
 def test_halo_gnn_md_chunk_runs():
