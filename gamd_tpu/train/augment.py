@@ -54,6 +54,10 @@ def rotate_sample(rng, pos, forces, box, prob=0.3, rotate_box=False,
     p = jnp.matmul(p - offset, r, precision=hi) + offset
     f = jnp.matmul(forces, r, precision=hi)
     if rotate_box and box_vec is not None:
+        if jnp.ndim(box_vec) == 0:
+            # Cubic per-frame box (scalar): the k*pi axis flips only negate
+            # axes, so |box| is invariant — pass it through unchanged.
+            return p, f, box_vec
         box_vec = jnp.abs(jnp.matmul(box_vec, r, precision=hi))
         return p, f, box_vec
     return p, f, box_vec

@@ -119,6 +119,46 @@ class GNNForceField:
         fn.handles_refresh = True     # in-kernel true-cutoff mask refresh
         return fn
 
+    def banded_force_fn(self, band: int = None, tile_n: int = 64,
+                        interpret: bool = False):
+        """(pos, idx, mask) -> force for LARGE N: x-sorted circular band
+        gathers (ops.banded) instead of the megakernel's O(N^2) one-hot or
+        XLA's slow random row gathers. Folds the true-cutoff mask refresh
+        (handles_refresh) and the force denormalization into the kernel
+        weights, like the megakernel path."""
+        from gamd_tpu.ops.banded import make_banded_force_fn
+        from gamd_tpu.ops.pallas_model import pack_params
+
+        cfg = self.model_cfg
+        system = self.system
+        if system.box is None or not cfg.expand_edge or cfg.update_edge:
+            raise ValueError("banded path requires a fixed scalar box, "
+                             "expand_edge=True, update_edge=False")
+        unit = system.force_unit_to_internal
+        mp = pack_params(self.params, cfg, batch_stats=self.batch_stats,
+                         force_std=jnp.maximum(self.force_stat.std, 1e-12),
+                         force_mean=self.force_stat.safe_mean, unit=unit)
+        h0_single = self._node_h0()
+        fn0 = make_banded_force_fn(
+            mp, system.box, system.cutoff, system.n_atoms, h0_single,
+            self.length_stat.safe_mean,
+            jnp.maximum(self.length_stat.std, 1e-12), band=band,
+            tile_n=tile_n, use_bond=self.model.use_bond,
+            flip_dir=cfg.flip_dir, use_ln=cfg.use_layer_norm,
+            interpret=interpret)
+
+        def fn(pos, idx, mask):
+            f, ovf = fn0(pos, idx, mask)
+            # The Simulation force contract has no overflow channel; a band
+            # overflow (a tile's neighbor arc wider than `band`) would
+            # silently zero real edges, so poison the output instead —
+            # drivers and benches assert finiteness and fail loudly.
+            return jnp.where(ovf, jnp.nan, 1.0) * f
+
+        fn.handles_refresh = True
+        fn.banded_band = fn0.banded_band
+        return fn
+
     def megastep_fn(self, tile_n: int = 16, interpret: bool = False):
         """Multi-step fused MD: (pos, vel, force, idx, mask, seed, *,
         n_steps, c1, hdt, c2col, masses) -> (pos', vel', force', ke).

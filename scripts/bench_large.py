@@ -29,6 +29,10 @@ def main():
                         default=[10_000, 100_000])
     parser.add_argument("--gnn_size", type=int, default=4096,
                         help="atoms for the GNN-MD large config (0 = skip)")
+    parser.add_argument("--gnn_banded_sizes", nargs="*", type=int,
+                        default=[4096, 10_000],
+                        help="atoms for the banded-gather GNN-MD configs")
+    parser.add_argument("--banded_tile", type=int, default=64)
     parser.add_argument("--steps", type=int, default=200)
     parser.add_argument("--k_max", type=int, default=96)
     parser.add_argument("--cpu", action="store_true",
@@ -97,6 +101,24 @@ def main():
         sim = Simulation(ff.force_fn(), system, md, nbr_method="cell")
         bench(sim, pos, max(args.steps // 4, 20), f"GNN-MD cell-list N={n}",
               n)
+
+    for n in args.gnn_banded_sizes:
+        # Banded-gather GNN-MD (ops.banded): the large-N scaling path.
+        box, pos = lj.lj_fluid_box(n, 0.5)
+        system = get_preset("lj", n_atoms=n, box=float(box),
+                            nbr_capacity=args.k_max, skin=0.5)
+        model_cfg = lj_model_config()
+        state = create_train_state(build_model(model_cfg, system), system,
+                                   TrainConfig(), 1,
+                                   rng=jax.random.PRNGKey(0))
+        ff = GNNForceField(state, system, model_cfg)
+        md = MDConfig(integrator="langevin", temperature=100.0, dt_fs=2.0,
+                      friction_per_ps=25.0, rebuild_every=20)
+        bfn = ff.banded_force_fn(tile_n=args.banded_tile,
+                                 interpret=args.cpu)
+        sim = Simulation(bfn, system, md, nbr_method="cell")
+        bench(sim, pos, max(args.steps // 4, 20),
+              f"GNN-MD banded N={n} band={bfn.banded_band}", n)
 
 
 if __name__ == "__main__":

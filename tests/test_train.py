@@ -368,6 +368,13 @@ def test_train_step_dynamic_box_dft_variant():
     assert np.isfinite(float(metrics2["loss"]))
     assert int(state.step) == 2
 
+    # SCALAR per-frame boxes (cubic RPBE surrogate, generate.py): the
+    # rotation augmentation must pass a 0-d box through unchanged instead
+    # of matmul-rotating it (caught live: ndim-0 matmul ValueError).
+    batch["box_size"] = jnp.asarray(np.array([9.0, 10.0], np.float32))
+    state, metrics3 = step(state, batch)
+    assert np.isfinite(float(metrics3["loss"]))
+
 
 def test_predict_batch_matches_single():
     system, frames = make_lj_frames(n_frames=5)
