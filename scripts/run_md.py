@@ -19,7 +19,10 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 def main():
     parser = argparse.ArgumentParser()
     parser.add_argument("--system", default="lj",
-                        choices=["lj", "tip3p", "tip4p"])
+                        choices=["lj", "tip3p", "tip4p", "dft"])
+    parser.add_argument("--n_atoms", default=None, type=int,
+                        help="dft rollout: atoms in the fixed-volume water "
+                             "box (default 774 — the reference's 2 nm box)")
     parser.add_argument("--ckpt", required=False, default=None,
                         help="TrainState msgpack checkpoint (untrained if omitted)")
     parser.add_argument("--init_pos", default=None,
@@ -100,10 +103,40 @@ def main():
         model_cfg = fallback_cfg
         model = build_model(model_cfg, system)
         state = create_train_state(model, system, TrainConfig(), 1)
-    ff = GNNForceField(state, system, model_cfg)
+    force_closure = None
+    if args.system == "dft":
+        # Deployment parity with the reference's RPBE rollout
+        # (reference: /root/reference/code/water/test_script/
+        # test_langevin_hb.py:33-38,95,108): the dynamic-box model drives a
+        # rigid water box at FIXED volume (2 nm edge), gamma=25/ps, dt=2fs,
+        # 1e5 fs total. The model works in bohr end-to-end; the MD driver
+        # stays in angstrom and the force closure converts positions (the
+        # preset's force_unit_to_internal already lands Ha/bohr in
+        # kJ/mol/A).
+        import dataclasses
+
+        from gamd_tpu.core import units as U
+
+        n = args.n_atoms or 774
+        box_a = 20.0
+        model_system = dataclasses.replace(
+            system, n_atoms=n, box=box_a / U.BOHR_TO_ANGSTROM)
+        ff = GNNForceField(state, model_system, model_cfg)
+        fn_bohr = ff.force_fn()
+        a2b = 1.0 / U.BOHR_TO_ANGSTROM
+
+        def force_closure(pos, idx, mask):
+            return fn_bohr(pos * a2b, idx, mask)
+
+        system = get_preset(
+            "tip3p", n_atoms=n, box=box_a,
+            cutoff=float(model_system.cutoff) * U.BOHR_TO_ANGSTROM,
+            nbr_capacity=128, friction_per_ps=25.0)
+    else:
+        ff = GNNForceField(state, system, model_cfg)
 
     constraint = None
-    if args.system in ("tip3p", "tip4p") and args.rigid:
+    if args.system in ("tip3p", "tip4p", "dft") and args.rigid:
         from gamd_tpu.md.constraints import RigidWater
         constraint = RigidWater(system.n_atoms // 3, system.box)
 
@@ -144,9 +177,12 @@ def main():
                   "whose murmur3-hash Gaussian stream is test-quality "
                   "randomness only — do not use for production rollouts")
         megastep_fn = ff.megastep_fn(interpret=args.cpu)
+    if force_closure is None:
+        force_closure = ff.force_fn(
+            megakernel=args.megakernel or args.megastep,
+            interpret=args.cpu)
     sim = Simulation(
-        ff.force_fn(megakernel=args.megakernel or args.megastep,
-                    interpret=args.cpu),
+        force_closure,
         system, md, constraint=constraint, k_model=args.k_model,
         megastep_fn=megastep_fn)
     st = sim.init_state(jnp.asarray(pos), rng=jax.random.PRNGKey(args.seed))
