@@ -143,6 +143,9 @@ class TrainConfig:
     lr_step_epochs: int = 5
     lr_total_decay: float = 0.001     # StepLR gamma = decay**(step/epochs)
     checkpoint_every: int = 5
+    start_epoch: int = 0              # resume: first epoch index to run
+                                      # (LR schedule continues from the
+                                      # restored opt_state step count)
     seed: int = 0
     precompute_nbrs: bool = False     # per-frame lists built once (exact:
                                       # search precedes jitter, and the

@@ -327,7 +327,7 @@ def train(system: SystemConfig, model_cfg: ModelConfig,
             return {k: jnp.asarray(v) for k, v in batch.items()}
         return {k: jax.device_put(v, sharding) for k, v in batch.items()}
 
-    for epoch in range(train_cfg.max_epoch):
+    for epoch in range(train_cfg.start_epoch, train_cfg.max_epoch):
         last = {}
         for batch in batch_iterator(train_data, train_cfg.batch_size,
                                     shuffle=True, seed=train_cfg.seed + epoch):
@@ -434,7 +434,11 @@ def _train_epoch_scan(model, system, train_cfg, tx, state, train_data,
             idx_va, mask_va = _precompute_nbrs(system, pos_va, log_fn)
 
     rng = jax.random.PRNGKey(train_cfg.seed + 1)
-    for epoch in range(train_cfg.max_epoch):
+    # Resume support: replay the per-epoch RNG stream up to start_epoch so a
+    # resumed run sees the same permutation/augment keys it would have.
+    for _ in range(train_cfg.start_epoch):
+        rng, _, _ = jax.random.split(rng, 3)
+    for epoch in range(train_cfg.start_epoch, train_cfg.max_epoch):
         rng, k_perm, k_epoch = jax.random.split(rng, 3)
         if n_chunks == 1:
             state, metrics = train_epoch(state, pos_tr, force_tr, feat_tr,

@@ -32,6 +32,9 @@ def main():
                              "decay**(5/epochs)); 1.0 = constant LR")
     parser.add_argument("--cp_dir", default="./model_ckpt")
     parser.add_argument("--state_ckpt_dir", default=None, type=str)
+    parser.add_argument("--start_epoch", default=0, type=int,
+                        help="resume: first epoch index to run (use with "
+                        "--state_ckpt_dir; LR continues from opt_state)")
     parser.add_argument("--batch_size", default=1, type=int)
     parser.add_argument("--encoding_size", default=128, type=int)
     parser.add_argument("--hidden_dim", default=128, type=int)
@@ -111,6 +114,7 @@ def main():
                       else (0.00025 if args.system == "dft" else 0.005)),
         checkpoint_every=50 if args.system == "dft" else 5,
         precompute_nbrs=args.precompute_nbrs,
+        start_epoch=args.start_epoch,
     )
 
     if args.system == "dft":
