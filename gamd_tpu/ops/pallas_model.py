@@ -101,6 +101,10 @@ class MegaParams(NamedTuple):
     bd0: jax.Array           # [1, H]
     wd1: jax.Array           # [H, 128] (cols 0-2 live)
     bd1: jax.Array           # [1, 128]
+    # kernel-only prepack: [ws_hi; ws_lo; ws_hi] stacked along the input
+    # axis (bf16) so the conv layers' hi/lo src affine runs as ONE K=3D
+    # MXU dot over [ghi|ghi|glo] instead of three K=D dots.
+    w_src3: jax.Array        # [L, 3D, H] bf16
 
 
 def pack_params(params, cfg, batch_stats=None, force_std=None,
@@ -156,6 +160,11 @@ def pack_params(params, cfg, batch_stats=None, force_std=None,
     wd1_pad = jnp.zeros((h_dim, 128), jnp.float32).at[:, :3].set(wd1)
     bd1_pad = jnp.zeros((1, 128), jnp.float32).at[0, :3].set(bd1)
 
+    ws = stack(lambda c: f32(c["src_affine"]["kernel"]))   # [L, D, H]
+    ws_hi = ws.astype(jnp.bfloat16)
+    ws_lo = (ws - ws_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    w_src3 = jnp.concatenate([ws_hi, ws_lo, ws_hi], axis=1)
+
     return MegaParams(
         centers=jnp.asarray(centers),
         w_geo=w_geo, w_rbf=w_rbf,
@@ -188,6 +197,7 @@ def pack_params(params, cfg, batch_stats=None, force_std=None,
         wd0=f32(dec["Dense_0"]["kernel"]),
         bd0=row(dec["Dense_0"]["bias"]),
         wd1=wd1_pad, bd1=bd1_pad,
+        w_src3=w_src3,
     )
 
 
@@ -276,7 +286,7 @@ def reference_forward(pos, idx, build_mask, h0, mp: MegaParams, box, cutoff,
     return decode_nodes(mp, h, mlp_act)
 
 
-def _forward_body(scalars_ref, pos_hi_ref, pos_lo_ref, idx_ref, bmask_ref,
+def _forward_body(scalars_ref, pos_pk_ref, idx_ref, bmask_ref,
                   h0_ref, bond_ref,
                   centers_ref, w_geo_ref, w_rbf_ref, b0_ref, w1_ref, b1_ref,
                   w2_ref, b2_ref, eln_s_ref, eln_b_ref,
@@ -284,9 +294,9 @@ def _forward_body(scalars_ref, pos_hi_ref, pos_lo_ref, idx_ref, bmask_ref,
                   b_dst_ref, w_e1_ref, b_e1_ref, w_e2_ref, b_e2_ref,
                   w_t1_ref, b_t1_ref, w_t2_ref, b_t2_ref,
                   w_pd_ref, b_pd_ref, w_pe_ref, b_pe_ref, w_p_ref, b_p_ref,
-                  wd0_ref, bd0_ref, wd1_ref, bd1_ref,
+                  wd0_ref, bd0_ref, wd1_ref, bd1_ref, w_src3_ref,
                   out_ref,
-                  e_scr, live_scr, h_scr, agg_scr, nhi_scr, nlo_scr,
+                  e_scr, live_scr, h_scr, agg_scr, nhilo_scr,
                   dst_scr, *, row_base, atom_base,
                   tile_n: int, k: int, n_pad: int, n_tiles: int, n_rows: int,
                   n_layers: int, d: int, flip_dir: bool, use_ln: bool,
@@ -294,11 +304,16 @@ def _forward_body(scalars_ref, pos_hi_ref, pos_lo_ref, idx_ref, bmask_ref,
     """Whole-model forward over refs/scratch already in VMEM. Shared by the
     single-shot megakernel and the multi-step MD kernel.
 
-    pos_hi/pos_lo/out refs are 2D, already sliced to this grid step's
+    pos_pk/out refs are 2D, already sliced to this grid step's
     replica; idx/bmask/bond/h0 are 2D with the replica axis FOLDED into
     rows (offset by row_base/atom_base) — Mosaic cannot slice the leading
     axis of a 3D ref whose lane dim is 1, but dynamic row offsets into a 2D
     ref are supported.
+
+    pos_pk is the PACKED position table [n_pad, 128] bf16: lanes 0:3 hold
+    the bf16 hi part, lanes 3:6 the residual lo part. One one-hot MXU dot
+    gathers both (the f32 position is recovered with a 3-lane roll + add),
+    halving the round-2 two-dot position-gather cost.
 
     scalars: [8] = (box, cutoff^2, length_mean, 1/length_std, rbf_gamma,
     c1, hdt) — the last two used only by the MD kernel.
@@ -335,14 +350,15 @@ def _forward_body(scalars_ref, pos_hi_ref, pos_lo_ref, idx_ref, bmask_ref,
         idx_t = idx_ref[pl.ds(rg, rows), :]          # [rows, 1] column
         iota = jax.lax.broadcasted_iota(jnp.int32, (rows, n_pad), 1)
         onehot = (iota == idx_t).astype(bf)
-        nbr = (jnp.dot(onehot, pos_hi_ref[:, :],
-                       preferred_element_type=jnp.float32)
-               + jnp.dot(onehot, pos_lo_ref[:, :],
-                         preferred_element_type=jnp.float32))
-        ctr = jnp.repeat(
-            pos_hi_ref[pl.ds(a0, tile_n), :].astype(jnp.float32)
-            + pos_lo_ref[pl.ds(a0, tile_n), :].astype(jnp.float32),
-            k, axis=0)
+        # One dot fetches hi (lanes 0:3) and lo (lanes 3:6) together; the
+        # 3-lane roll+add reconstructs the exact f32 position in lanes 0:3
+        # (lanes 3+ of the sum are garbage and never read).
+        g = jnp.dot(onehot, pos_pk_ref[:, :],
+                    preferred_element_type=jnp.float32)
+        nbr = g + pltpu.roll(g, shift=125, axis=1)
+        cpk = pos_pk_ref[pl.ds(a0, tile_n), :].astype(jnp.float32)
+        ctr = jnp.repeat(cpk + pltpu.roll(cpk, shift=125, axis=1),
+                         k, axis=0)
         rel = nbr - ctr
         rel = rel - box * jnp.round(rel / box)
         rx, ry, rz = rel[:, 0:1], rel[:, 1:2], rel[:, 2:3]
@@ -381,8 +397,7 @@ def _forward_body(scalars_ref, pos_hi_ref, pos_lo_ref, idx_ref, bmask_ref,
     jax.lax.fori_loop(0, n_tiles, enc_tile, 0)
 
     h_scr[:, :] = h0_ref[pl.ds(atom_base, n_rows), :]
-    nhi_scr[:, :] = jnp.zeros_like(nhi_scr)
-    nlo_scr[:, :] = jnp.zeros_like(nlo_scr)
+    nhilo_scr[:, :] = jnp.zeros_like(nhilo_scr)
 
     # ---- conv layers (unrolled; weights indexed statically) --------------
     for layer in range(n_layers):
@@ -404,10 +419,13 @@ def _forward_body(scalars_ref, pos_hi_ref, pos_lo_ref, idx_ref, bmask_ref,
         # gather ([rows,D]@[D,H] = 0.4 GF vs gathering a precomputed
         # 256-lane concat = 1.3 GF extra). The hi/lo bf16 split keeps the
         # gather fp32-exact — a single bf16 copy was measured at 1.4% mean
-        # force error, above the 0.6% relative-MAE accuracy budget.
+        # force error, above the 0.6% relative-MAE accuracy budget. hi and
+        # lo live side by side in one [n_pad, 2D] table so the gather is a
+        # single K=n_pad dot (same FLOPs as two D-wide dots, half the ops).
         nhi = hn.astype(bf)
-        nhi_scr[0:n_rows, :] = nhi
-        nlo_scr[0:n_rows, :] = (hn - nhi.astype(jnp.float32)).astype(bf)
+        nhilo_scr[0:n_rows, 0:d] = nhi
+        nhilo_scr[0:n_rows, d:2 * d] = (hn - nhi.astype(jnp.float32)
+                                        ).astype(bf)
 
         def conv_tile(t, _):
             r0 = pl.multiple_of(t * rows, rows)
@@ -416,26 +434,24 @@ def _forward_body(scalars_ref, pos_hi_ref, pos_lo_ref, idx_ref, bmask_ref,
             idx_t = idx_ref[pl.ds(rg, rows), :]      # [rows, 1] column
             iota = jax.lax.broadcasted_iota(jnp.int32, (rows, n_pad), 1)
             onehot = (iota == idx_t).astype(bf)
-            ghi = jnp.dot(onehot, nhi_scr[:, :],
-                          preferred_element_type=jnp.float32)
-            glo = jnp.dot(onehot, nlo_scr[:, :],
-                          preferred_element_type=jnp.float32)
+            g2 = jnp.dot(onehot, nhilo_scr[:, :],
+                         preferred_element_type=jnp.float32)
+            ghi = g2[:, 0:d]
+            glo = g2[:, d:2 * d]
             h_src = ghi + glo
             # src_affine applied post-gather. ghi/glo are exactly
             # bf16-representable (one-hot selections of bf16 rows), and the
             # weight is split hi/lo too (lo x lo term ~1e-5, dropped), so
             # src_code matches the fp32 node-level affine the XLA oracle
             # computes — a single bf16 rounding here measured 3.5% max
-            # force error, over the 3% parity budget.
-            ws = w_src_ref[layer]
-            ws_hi = ws.astype(bf)
-            ws_lo = (ws - ws_hi.astype(jnp.float32)).astype(bf)
-            src_code = (jnp.dot(ghi.astype(bf), ws_hi,
+            # force error, over the 3% parity budget. The three partial
+            # dots run as ONE K=3D dot against the prepacked
+            # [ws_hi; ws_lo; ws_hi] stack.
+            gcat = jnp.concatenate(
+                [ghi.astype(bf), glo.astype(bf)], axis=1)
+            gcat = jnp.concatenate([ghi.astype(bf), gcat], axis=1)
+            src_code = (jnp.dot(gcat, w_src3_ref[layer],
                                 preferred_element_type=jnp.float32)
-                        + jnp.dot(ghi.astype(bf), ws_lo,
-                                  preferred_element_type=jnp.float32)
-                        + jnp.dot(glo.astype(bf), ws_hi,
-                                  preferred_element_type=jnp.float32)
                         + b_src_ref[layer, :, :])
             x = e_scr[pl.ds(r0, rows), :].astype(jnp.float32)
             z = cact(mm(x, w_e1_ref[layer]) + b_e1_ref[layer, :, :])
@@ -463,19 +479,19 @@ def _forward_body(scalars_ref, pos_hi_ref, pos_lo_ref, idx_ref, bmask_ref,
     out_ref[:, :] = mmf(z, wd1_ref[:, :]) + bd1_ref[0:1, :]
 
 
-def _mega_kernel(scalars_ref, pos_hi_ref, pos_lo_ref, idx_ref, bmask_ref,
+def _mega_kernel(scalars_ref, pos_pk_ref, idx_ref, bmask_ref,
                  h0_ref, bond_ref, *rest,
                  tile_n: int, k: int, n_pad: int, n_tiles: int, n_rows: int,
                  n_layers: int, d: int, flip_dir: bool, use_ln: bool,
                  conv_act: str, mlp_act: str, f32_edges: bool):
     """Single forward pass (grid = replicas). See _forward_body."""
-    weights = rest[:-8]
-    out_ref = rest[-8]
-    scratch = rest[-7:]
+    weights = rest[:-7]
+    out_ref = rest[-7]
+    scratch = rest[-6:]
     p = pl.program_id(0)
     rows_total = n_tiles * tile_n * k
     _forward_body(
-        scalars_ref, pos_hi_ref.at[p], pos_lo_ref.at[p], idx_ref, bmask_ref,
+        scalars_ref, pos_pk_ref.at[p], idx_ref, bmask_ref,
         h0_ref, bond_ref, *weights, out_ref.at[p], *scratch,
         row_base=p * rows_total, atom_base=p * n_rows,
         tile_n=tile_n, k=k, n_pad=n_pad, n_tiles=n_tiles, n_rows=n_rows,
@@ -502,10 +518,10 @@ def _mega_md_kernel(scalars_ref, seeds_ref, pos0_ref, vel0_ref, f0_ref,
     threefry). Reference for the split the fused step replaces:
     /root/reference/code/hack_integrator.py:141-178.
     """
-    weights = rest[:-16]
-    pos_out, vel_out, f_out, thermo_out = rest[-16:-12]
-    (e_scr, live_scr, h_scr, agg_scr, nhi_scr, nlo_scr, dst_scr,
-     pcur_scr, vcur_scr, f_scr, phi_scr, plo_scr) = rest[-12:]
+    weights = rest[:-14]
+    pos_out, vel_out, f_out, thermo_out = rest[-14:-10]
+    (e_scr, live_scr, h_scr, agg_scr, nhilo_scr, dst_scr,
+     pcur_scr, vcur_scr, f_scr, ppk_scr) = rest[-10:]
 
     p = pl.program_id(0)
     rows_total = n_tiles * tile_n * k
@@ -523,16 +539,23 @@ def _mega_md_kernel(scalars_ref, seeds_ref, pos0_ref, vel0_ref, f0_ref,
     mcol = m_ref[:, :]
 
     def refresh_hilo():
+        # Packed hi/lo table: lanes 0:3 = bf16(pos), lanes 3:6 = residual.
+        # pcur lanes 3+ are zero, so the two bf16 fields have disjoint
+        # support and the add is exact. The roll runs in f32 (Mosaic's
+        # tpu.dynamic_rotate only supports 32-bit data); the post-roll
+        # bf16 cast equals casting before the roll, so numerics match the
+        # old two-table scheme exactly.
         pc = pcur_scr[:, :]
         phi = pc.astype(jnp.bfloat16)
-        phi_scr[:, :] = phi
-        plo_scr[:, :] = (pc - phi.astype(jnp.float32)).astype(jnp.bfloat16)
+        plo = pc - phi.astype(jnp.float32)
+        ppk_scr[:, :] = phi + pltpu.roll(plo, shift=3, axis=1
+                                         ).astype(jnp.bfloat16)
 
     def fwd():
         _forward_body(
-            scalars_ref, phi_scr, plo_scr, idx_ref, bmask_ref, h0_ref,
+            scalars_ref, ppk_scr, idx_ref, bmask_ref, h0_ref,
             bond_ref, *weights, f_scr,
-            e_scr, live_scr, h_scr, agg_scr, nhi_scr, nlo_scr, dst_scr,
+            e_scr, live_scr, h_scr, agg_scr, nhilo_scr, dst_scr,
             row_base=p * rows_total, atom_base=p * n_rows,
             tile_n=tile_n, k=k, n_pad=n_pad, n_tiles=n_tiles, n_rows=n_rows,
             n_layers=n_layers, d=d, flip_dir=flip_dir, use_ln=use_ln,
@@ -689,14 +712,12 @@ def mega_md_steps(pos, vel, force, idx, build_mask, h0, mp: MegaParams,
             pltpu.VMEM((rows_total, 1), jnp.bfloat16),       # live mask
             pltpu.VMEM((n_rows_t, d), jnp.float32),          # h
             pltpu.VMEM((n_rows_t, d), jnp.float32),          # agg
-            pltpu.VMEM((n_pad, d), jnp.bfloat16),            # hn hi
-            pltpu.VMEM((n_pad, d), jnp.bfloat16),            # hn lo
+            pltpu.VMEM((n_pad, 2 * d), jnp.bfloat16),        # hn hi|lo
             pltpu.VMEM((n_rows_t, h_dim), jnp.float32),      # dst stage
             pltpu.VMEM((n_pad, 128), jnp.float32),           # pos current
             pltpu.VMEM((n_rows_t, 128), jnp.float32),        # vel current
             pltpu.VMEM((n_rows_t, 128), jnp.float32),        # force
-            pltpu.VMEM((n_pad, 128), jnp.bfloat16),          # pos hi
-            pltpu.VMEM((n_pad, 128), jnp.bfloat16),          # pos lo
+            pltpu.VMEM((n_pad, 128), jnp.bfloat16),          # pos packed
         ],
     )
 
@@ -768,10 +789,11 @@ def mega_forward(pos, idx, build_mask, h0, mp: MegaParams, box, cutoff,
         if bond is not None:
             bond = jnp.pad(bond, ((0, 0), (0, pad), (0, 0)))
 
-    pos_cols = jnp.zeros((r, n_pad, 128), jnp.float32)
-    pos_cols = pos_cols.at[:, :n, :3].set(pos.astype(jnp.float32))
-    pos_hi = pos_cols.astype(jnp.bfloat16)
-    pos_lo = (pos_cols - pos_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    pos_f = pos.astype(jnp.float32)
+    hi = pos_f.astype(jnp.bfloat16)
+    lo = (pos_f - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    pos_pk = (jnp.zeros((r, n_pad, 128), jnp.bfloat16)
+              .at[:, :n, 0:3].set(hi).at[:, :n, 3:6].set(lo))
 
     # Replica axis folded into rows (2D column layout) — see _mega_kernel.
     # bf16 carries 0/1 flags exactly and halves the VMEM footprint (the
@@ -807,15 +829,14 @@ def mega_forward(pos, idx, build_mask, h0, mp: MegaParams, box, cutoff,
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(r,),
-        in_specs=[full()] * (6 + len(MegaParams._fields)),
+        in_specs=[full()] * (5 + len(MegaParams._fields)),
         out_specs=full(),
         scratch_shapes=[
             pltpu.VMEM((rows_total, e_dim), jnp.bfloat16),   # e
             pltpu.VMEM((rows_total, 1), jnp.bfloat16),       # live mask
             pltpu.VMEM((n_rows_t, d), jnp.float32),          # h
             pltpu.VMEM((n_rows_t, d), jnp.float32),          # agg
-            pltpu.VMEM((n_pad, d), jnp.bfloat16),            # hn hi
-            pltpu.VMEM((n_pad, d), jnp.bfloat16),            # hn lo
+            pltpu.VMEM((n_pad, 2 * d), jnp.bfloat16),        # hn hi|lo
             pltpu.VMEM((n_rows_t, h_dim), jnp.float32),      # dst stage
         ],
     )
@@ -825,7 +846,7 @@ def mega_forward(pos, idx, build_mask, h0, mp: MegaParams, box, cutoff,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((r, n_rows_t, 128), jnp.float32),
         interpret=interpret,
-    )(scalars, pos_hi, pos_lo,
+    )(scalars, pos_pk,
       idx.astype(jnp.int32).reshape(r * rows_total, 1), bmask,
       h0.reshape(r * n_rows_t, d), bond_in,
       *mp)

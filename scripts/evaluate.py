@@ -102,7 +102,13 @@ def main():
     err = flat_p - flat_g
     mae = np.abs(err).mean()
     rmse = np.sqrt((err**2).mean())
-    rel_mae = mae / np.abs(flat_g).mean()
+    # Reference definition (lj.ipynb cell 3): MAE normalized by the mean
+    # ground-truth force VECTOR NORM, not the mean |component| (the two
+    # differ by ~2x for isotropic forces — E||f|| = 2 E|f_i| for Gaussian
+    # components). Rounds 1-2 reported the component-denominator variant;
+    # kept as relative_mae_component for continuity.
+    rel_mae = mae / np.linalg.norm(flat_g, axis=1).mean()
+    rel_mae_comp = mae / np.abs(flat_g).mean()
     ratio = np.abs(err.reshape(-1)) / (np.abs(flat_p.reshape(-1)) + 1e-8)
     metrics = {
         "frames": int(n),
@@ -110,6 +116,7 @@ def main():
         "force_mae_ev_a": float(mae),
         "force_rmse_ev_a": float(rmse),
         "relative_mae": float(rel_mae),
+        "relative_mae_component": float(rel_mae_comp),
         "outlier_ratio": float((ratio > 10.0).mean()),
         "per_sample_mae_std": float(
             np.abs(pred - gt).mean(axis=(1, 2)).std()),
