@@ -93,26 +93,20 @@ class RigidWater:
 
     def __init__(self, n_molecules: int, box: float,
                  params: RigidWaterParams = tip3p_rigid_params(),
-                 method: str = "shake"):
-        # Default is SHAKE: its corrections act along the old bond
-        # directions (the RATTLE Lagrange structure), and measured NVE
-        # energy drift is flat at dt in {0.5,1,2} fs. The analytic SETTLE
-        # placement satisfies the constraints to 1e-6 A but pumps energy
-        # (~exponential T growth, worse at smaller dt — a systematic
-        # placement bias, under investigation); keep method="settle" only
-        # for debugging until the placement is fixed.
+                 method: str = "settle"):
+        # Default is analytic SETTLE (one closed-form projection/step).
+        # The round-2 energy pumping was root-caused to f32 absolute-COM
+        # rounding amplified by sin(phi) = z/ra into constraint-null-space
+        # rotation noise; settle_correction now works entirely in pair
+        # differences and measured NVE drift on both CPU and TPU is at or
+        # below SHAKE's (258 molecules, TPU: settle +0.008 vs shake
+        # +0.305 kJ/mol/ps — see RESULTS.md). method="shake" remains the
+        # iterative cross-check oracle.
         self.n_molecules = n_molecules
         self.box = box
         self.params = params
         self.method = method
         self.n_constraints = 3 * n_molecules
-        if method == "settle":
-            import warnings
-            warnings.warn(
-                "RigidWater(method='settle'): the in-repo SETTLE placement "
-                "is known to pump energy (systematic placement bias, worse "
-                "at smaller dt) — use the default method='shake' for "
-                "production runs until this is fixed.", stacklevel=2)
 
     # -- integrator hooks ---------------------------------------------------
 

@@ -62,7 +62,10 @@ def _banded_msg_kernel(lo_ref, e_ref, idxl_ref, mask_ref, dstc_ref,
     """One tile (tile_n atoms): DMA node band, edge MLP chain + one-hot
     gather against the band, masked K-sum into out_ref [tile_n, d]."""
     t = pl.program_id(0)
-    lo = lo_ref[t]
+    # band_layout emits 16-aligned starts (one full sublane tile even for
+    # 2-packed bf16 rows); Mosaic needs the hint to prove it may slice a
+    # tiled HBM memref at a dynamic row offset.
+    lo = pl.multiple_of(lo_ref[t], 16)
     bf = jnp.bfloat16
 
     cp_hi = pltpu.make_async_copy(nodes_hi_hbm.at[pl.ds(lo, band)],
@@ -221,10 +224,12 @@ def band_layout(idx, mask, n, band, tile_n):
 
     The x-sort is periodic: a tile at the box face has neighbors at both
     index extremes, so each tile's sources form a contiguous arc of the
-    CIRCULAR index space, not an interval. lo is the arc start (8-aligned,
-    mod the padded row count); consumers read rows [lo, lo+band) of the
-    node array EXTENDED by a `band`-row replica of its head
-    (see banded_forward), and idx_loc = (idx - lo) mod np_rows.
+    CIRCULAR index space, not an interval. lo is the arc start (16-aligned
+    — a full sublane tile even for 2-packed bf16 node rows, so Mosaic can
+    slice the HBM memref at the dynamic offset — mod the padded row
+    count); consumers read rows [lo, lo+band) of the node array EXTENDED
+    by a `band`-row replica of its head (see banded_forward), and
+    idx_loc = (idx - lo) mod np_rows.
 
     Returns (idx_loc [N,K], lo [T], overflow) where overflow flags any
     valid edge whose source falls outside its tile's band — the caller
@@ -232,7 +237,7 @@ def band_layout(idx, mask, n, band, tile_n):
     overflow).
     """
     n_tiles = _round_up(n, tile_n) // tile_n
-    np_rows = _round_up(n, 8)
+    np_rows = _round_up(n, 16)
     pad_rows = n_tiles * tile_n - idx.shape[0]
     idx_t = jnp.pad(idx, ((0, pad_rows), (0, 0))) if pad_rows else idx
     mask_t = jnp.pad(mask, ((0, pad_rows), (0, 0))) if pad_rows else mask
@@ -244,10 +249,10 @@ def band_layout(idx, mask, n, band, tile_n):
     rel = jnp.mod(idx_tiles - centers[:, None] + n // 2, n) - n // 2
     rel_lo = jnp.min(jnp.where(mask_tiles, rel, n), axis=1)
     rel_hi = jnp.max(jnp.where(mask_tiles, rel, -n), axis=1)
-    lo = jnp.mod(((centers + rel_lo) // 8) * 8, np_rows)
-    # Margin: up to 7 rows of lo 8-alignment + up to 7 dead pad rows when
-    # the arc crosses the n -> np_rows seam.
-    overflow = jnp.any(rel_hi - rel_lo + 16 > band)
+    lo = jnp.mod(((centers + rel_lo) // 16) * 16, np_rows)
+    # Margin: up to 15 rows of lo 16-alignment + up to 15 dead pad rows
+    # when the arc crosses the n -> np_rows seam.
+    overflow = jnp.any(rel_hi - rel_lo + 32 > band)
 
     idx_loc = jnp.mod(idx_t - jnp.repeat(lo, tile_n)[:, None], np_rows)
     # Out-of-band (only possible when overflow is already flagged, or on
@@ -281,7 +286,7 @@ def banded_forward(pos_s, idx_s, mask, h0_s, mp: MegaParams, box, cutoff,
 
     idx_loc, lo, overflow = band_layout(idx_s, mask, n, band, tile_n)
 
-    np_rows = _round_up(n, 8)
+    np_rows = _round_up(n, 16)
     h = h0_s
     for layer in range(n_layers):
         hn = node_norm(mp, layer, h, use_ln)
@@ -323,7 +328,7 @@ def make_banded_force_fn(mp: MegaParams, box, cutoff, n_atoms, h0,
         frac = min(2.0 * float(cutoff) / float(box), 1.0)
         band = int(_round_up(
             max(int(n_atoms * frac * 1.3) + tile_n + 16, 256), 128))
-    band = min(band, _round_up(n_atoms, 8))
+    band = min(band, _round_up(n_atoms, 16))
 
     def fn(pos, idx, mask):
         perm = jnp.argsort(pos[:, 0])

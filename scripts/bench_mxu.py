@@ -20,6 +20,12 @@ Every kernel loops `iters` times over the same VMEM-resident data, so
 per-call launch cost (~20-30 us) amortizes away and the number is the
 steady-state per-iteration cost. FLOP counts are printed so achieved
 TFLOP/s can be read against the ~197 bf16 TFLOP/s v5e peak.
+
+Each loop body mixes `o_ref[0:1] * 1e-30` back into one of its inputs:
+without that loop-carried dependence Mosaic hoists the loop-invariant
+body out of the fori_loop and the bench times ONE iteration divided by
+`iters` (first run of this script printed 5,167 "TFLOP/s" for the peak
+stage — 26x the chip's actual peak).
 """
 
 import argparse
@@ -102,7 +108,7 @@ def main():
     w = jnp.asarray(rng.randn(512, 512), bf)
 
     def peak_body(i, a_ref, w_ref, o_ref):
-        x = a_ref[:, :]
+        x = a_ref[:, :] + (o_ref[0:1, :] * 1e-30).astype(bf)
         for _ in range(4):
             x = jnp.dot(x, w_ref[:, :],
                         preferred_element_type=jnp.float32).astype(bf)
@@ -119,7 +125,8 @@ def main():
     nl = jnp.asarray(rng.randn(n_pad, D) * 1e-3, bf)
 
     def gmm_body(i, oh_ref, nh_ref, nl_ref, o_ref):
-        ghi = jnp.dot(oh_ref[:, :], nh_ref[:, :],
+        nh_eff = nh_ref[:, :] + (o_ref[0:1, :] * 1e-30).astype(bf)
+        ghi = jnp.dot(oh_ref[:, :], nh_eff,
                       preferred_element_type=jnp.float32)
         glo = jnp.dot(oh_ref[:, :], nl_ref[:, :],
                       preferred_element_type=jnp.float32)
@@ -134,8 +141,10 @@ def main():
     ws = jnp.asarray(rng.randn(D, D), jnp.float32)
 
     def gfull_body(i, idx_ref, nh_ref, nl_ref, ws_ref, o_ref):
+        # idx depends on the carry so the one-hot build re-executes per iter.
+        idx_eff = idx_ref[:, :] + (o_ref[0, 0] * 1e-30).astype(jnp.int32)
         iota = jax.lax.broadcasted_iota(jnp.int32, (rows, n_pad), 1)
-        oh = (iota == idx_ref[:, :]).astype(bf)
+        oh = (iota == idx_eff).astype(bf)
         ghi = jnp.dot(oh, nh_ref[:, :], preferred_element_type=jnp.float32)
         glo = jnp.dot(oh, nl_ref[:, :], preferred_element_type=jnp.float32)
         wsv = ws_ref[:, :]
@@ -163,7 +172,7 @@ def main():
         return x * jax.nn.sigmoid(x)
 
     def emlp_body(i, e_ref, w_ref, o_ref):
-        x = e_ref[:, :].astype(jnp.float32)
+        x = e_ref[:, :].astype(jnp.float32) + o_ref[0:1, :] * 1e-30
         mm = lambda a: jnp.dot(a.astype(bf), w_ref[:, :].astype(bf),
                                preferred_element_type=jnp.float32)
         z = silu(mm(x))
@@ -179,7 +188,8 @@ def main():
     dst = jnp.asarray(rng.randn(tile_n, D), jnp.float32)
 
     def rep_body(i, d_ref, o_ref):
-        o_ref[:, :] = jnp.repeat(d_ref[:, :], k, axis=0)
+        o_ref[:, :] = jnp.repeat(d_ref[:, :] + o_ref[0:1, :] * 1e-30,
+                                 k, axis=0)
 
     run(rep_body, (dst,), jax.ShapeDtypeStruct((rows, D), jnp.float32),
         "repeat", 0)
