@@ -32,6 +32,11 @@ def main():
                         help="ground-truth data_{seed}_{t}.npz directory")
     parser.add_argument("--steps", default=10000, type=int)
     parser.add_argument("--integrator", default="nose_hoover")
+    parser.add_argument("--friction", default=None, type=float,
+                        help="Langevin collision rate (1/ps). Default: the "
+                             "system preset's GENERATION value; the "
+                             "reference's rollout scripts use 25/ps for "
+                             "both LJ and water (test_langevin.py:45)")
     parser.add_argument("--equil_fraction", default=0.3, type=float)
     parser.add_argument("--n_bins", default=100, type=int)
     parser.add_argument("--max_gt_frames", default=200, type=int)
@@ -122,7 +127,8 @@ def main():
     # GNN rollout from the last ground-truth frame.
     md = MDConfig(integrator=args.integrator, n_steps=args.steps,
                   temperature=system.temperature, dt_fs=system.dt_fs,
-                  friction_per_ps=system.friction_per_ps, rebuild_every=20)
+                  friction_per_ps=args.friction or system.friction_per_ps,
+                  rebuild_every=20)
     megastep_fn = None
     if args.megastep:
         if args.integrator != "langevin" or constraint is not None:

@@ -136,6 +136,19 @@ def main():
         jax.ShapeDtypeStruct((rows, D), jnp.float32),
         "gather_mm", 2 * 2 * rows * n_pad * D)
 
+    # ---- gather_mm_8M: same contraction at 8x the M dim ---------------------
+    # If per-row cost drops ~8x here, the MXU idles at M=rows and folding
+    # replicas into the matmul M dimension recovers it (the round-2
+    # replica-aggregate-flat result came from replicas running as
+    # SEQUENTIAL grid iterations, not from saturation).
+    rows8 = 8 * rows
+    onehot8 = jnp.asarray(
+        (rng.randint(0, n_pad, (rows8, 1)) ==
+         np.arange(n_pad)[None, :]), bf)
+    run(gmm_body, (onehot8, nh, nl),
+        jax.ShapeDtypeStruct((rows8, D), jnp.float32),
+        "gather_mm_8M", 2 * 2 * rows8 * n_pad * D)
+
     # ---- gather_full: iota build + gathers + src hi/lo affine -------------
     idx_col = jnp.asarray(rng.randint(0, args.n, (rows, 1)), jnp.int32)
     ws = jnp.asarray(rng.randn(D, D), jnp.float32)
