@@ -300,7 +300,8 @@ def _forward_body(scalars_ref, pos_pk_ref, idx_ref, bmask_ref,
                   dst_scr, *, row_base, atom_base,
                   tile_n: int, k: int, n_pad: int, n_tiles: int, n_rows: int,
                   n_layers: int, d: int, flip_dir: bool, use_ln: bool,
-                  conv_act: str, mlp_act: str, f32_edges: bool):
+                  conv_act: str, mlp_act: str, f32_edges: bool,
+                  oh_scr=None):
     """Whole-model forward over refs/scratch already in VMEM. Shared by the
     single-shot megakernel and the multi-step MD kernel.
 
@@ -347,9 +348,12 @@ def _forward_body(scalars_ref, pos_pk_ref, idx_ref, bmask_ref,
         r0 = pl.multiple_of(t * rows, rows)          # local (scratch) rows
         rg = pl.multiple_of(row_base + t * rows, rows)   # global input rows
         a0 = pl.multiple_of(t * tile_n, tile_n)
-        idx_t = idx_ref[pl.ds(rg, rows), :]          # [rows, 1] column
-        iota = jax.lax.broadcasted_iota(jnp.int32, (rows, n_pad), 1)
-        onehot = (iota == idx_t).astype(bf)
+        if oh_scr is not None:
+            onehot = oh_scr[pl.ds(r0, rows), :]
+        else:
+            idx_t = idx_ref[pl.ds(rg, rows), :]      # [rows, 1] column
+            iota = jax.lax.broadcasted_iota(jnp.int32, (rows, n_pad), 1)
+            onehot = (iota == idx_t).astype(bf)
         # One dot fetches hi (lanes 0:3) and lo (lanes 3:6) together; the
         # 3-lane roll+add reconstructs the exact f32 position in lanes 0:3
         # (lanes 3+ of the sum are garbage and never read).
@@ -431,9 +435,12 @@ def _forward_body(scalars_ref, pos_pk_ref, idx_ref, bmask_ref,
             r0 = pl.multiple_of(t * rows, rows)
             rg = pl.multiple_of(row_base + t * rows, rows)
             a0 = pl.multiple_of(t * tile_n, tile_n)
-            idx_t = idx_ref[pl.ds(rg, rows), :]      # [rows, 1] column
-            iota = jax.lax.broadcasted_iota(jnp.int32, (rows, n_pad), 1)
-            onehot = (iota == idx_t).astype(bf)
+            if oh_scr is not None:
+                onehot = oh_scr[pl.ds(r0, rows), :]
+            else:
+                idx_t = idx_ref[pl.ds(rg, rows), :]  # [rows, 1] column
+                iota = jax.lax.broadcasted_iota(jnp.int32, (rows, n_pad), 1)
+                onehot = (iota == idx_t).astype(bf)
             g2 = jnp.dot(onehot, nhilo_scr[:, :],
                          preferred_element_type=jnp.float32)
             ghi = g2[:, 0:d]
@@ -479,24 +486,53 @@ def _forward_body(scalars_ref, pos_pk_ref, idx_ref, bmask_ref,
     out_ref[:, :] = mmf(z, wd1_ref[:, :]) + bd1_ref[0:1, :]
 
 
+#: Enable the per-program one-hot cache when the [rows_total, n_pad] bf16
+#: table fits comfortably inside scoped VMEM. The one-hot gather matrices
+#: depend only on the (fixed) neighbor list, so building them once per
+#: program replaces n_tiles x (1 + n_layers) [x n_steps in the MD kernel]
+#: iota-compare rebuilds with VMEM reads.
+_OH_CACHE_BYTES = 24 * 2**20
+
+
+def _fill_onehot(oh_scr, idx_ref, row_base, n_tiles, rows, n_pad):
+    """Build the per-tile one-hot gather matrices into VMEM once."""
+
+    def tile(t, _):
+        r0 = pl.multiple_of(t * rows, rows)
+        rg = pl.multiple_of(row_base + t * rows, rows)
+        idx_t = idx_ref[pl.ds(rg, rows), :]
+        iota = jax.lax.broadcasted_iota(jnp.int32, (rows, n_pad), 1)
+        oh_scr[pl.ds(r0, rows), :] = (iota == idx_t).astype(jnp.bfloat16)
+        return 0
+
+    jax.lax.fori_loop(0, n_tiles, tile, 0)
+
+
 def _mega_kernel(scalars_ref, pos_pk_ref, idx_ref, bmask_ref,
                  h0_ref, bond_ref, *rest,
                  tile_n: int, k: int, n_pad: int, n_tiles: int, n_rows: int,
                  n_layers: int, d: int, flip_dir: bool, use_ln: bool,
-                 conv_act: str, mlp_act: str, f32_edges: bool):
+                 conv_act: str, mlp_act: str, f32_edges: bool,
+                 cache_onehot: bool):
     """Single forward pass (grid = replicas). See _forward_body."""
-    weights = rest[:-7]
-    out_ref = rest[-7]
-    scratch = rest[-6:]
+    n_scr = 7 if cache_onehot else 6
+    weights = rest[:-(1 + n_scr)]
+    out_ref = rest[-(1 + n_scr)]
+    scratch = rest[-n_scr:]
+    oh_scr = scratch[6] if cache_onehot else None
     p = pl.program_id(0)
     rows_total = n_tiles * tile_n * k
+    if cache_onehot:
+        _fill_onehot(oh_scr, idx_ref, p * rows_total, n_tiles,
+                     tile_n * k, n_pad)
     _forward_body(
         scalars_ref, pos_pk_ref.at[p], idx_ref, bmask_ref,
-        h0_ref, bond_ref, *weights, out_ref.at[p], *scratch,
+        h0_ref, bond_ref, *weights, out_ref.at[p], *scratch[:6],
         row_base=p * rows_total, atom_base=p * n_rows,
         tile_n=tile_n, k=k, n_pad=n_pad, n_tiles=n_tiles, n_rows=n_rows,
         n_layers=n_layers, d=d, flip_dir=flip_dir, use_ln=use_ln,
-        conv_act=conv_act, mlp_act=mlp_act, f32_edges=f32_edges)
+        conv_act=conv_act, mlp_act=mlp_act, f32_edges=f32_edges,
+        oh_scr=oh_scr)
 
 
 def _mega_md_kernel(scalars_ref, seeds_ref, pos0_ref, vel0_ref, f0_ref,
@@ -505,7 +541,8 @@ def _mega_md_kernel(scalars_ref, seeds_ref, pos0_ref, vel0_ref, f0_ref,
                     n_steps: int, tile_n: int, k: int, n_pad: int,
                     n_tiles: int, n_rows: int, n_layers: int, d: int,
                     flip_dir: bool, use_ln: bool, conv_act: str,
-                    mlp_act: str, f32_edges: bool, interpret_rng: bool):
+                    mlp_act: str, f32_edges: bool, interpret_rng: bool,
+                    cache_onehot: bool):
     """n_steps of BAOAB Langevin MD with the GNN forward run ENTIRELY in
     one kernel invocation: positions, velocities, and the edge stream stay
     VMEM-resident across the whole neighbor-reuse window, and thermostat
@@ -518,13 +555,19 @@ def _mega_md_kernel(scalars_ref, seeds_ref, pos0_ref, vel0_ref, f0_ref,
     threefry). Reference for the split the fused step replaces:
     /root/reference/code/hack_integrator.py:141-178.
     """
-    weights = rest[:-14]
-    pos_out, vel_out, f_out, thermo_out = rest[-14:-10]
+    n_scr = 11 if cache_onehot else 10
+    weights = rest[:-(4 + n_scr)]
+    pos_out, vel_out, f_out, thermo_out = rest[-(4 + n_scr):-n_scr]
+    scratch = rest[-n_scr:]
     (e_scr, live_scr, h_scr, agg_scr, nhilo_scr, dst_scr,
-     pcur_scr, vcur_scr, f_scr, ppk_scr) = rest[-10:]
+     pcur_scr, vcur_scr, f_scr, ppk_scr) = scratch[:10]
+    oh_scr = scratch[10] if cache_onehot else None
 
     p = pl.program_id(0)
     rows_total = n_tiles * tile_n * k
+    if cache_onehot:
+        _fill_onehot(oh_scr, idx_ref, p * rows_total, n_tiles,
+                     tile_n * k, n_pad)
     if not interpret_rng:
         pltpu.prng_seed(seeds_ref[0], p)
     pcur_scr[:, :] = pos0_ref.at[p][:, :]
@@ -559,7 +602,8 @@ def _mega_md_kernel(scalars_ref, seeds_ref, pos0_ref, vel0_ref, f0_ref,
             row_base=p * rows_total, atom_base=p * n_rows,
             tile_n=tile_n, k=k, n_pad=n_pad, n_tiles=n_tiles, n_rows=n_rows,
             n_layers=n_layers, d=d, flip_dir=flip_dir, use_ln=use_ln,
-            conv_act=conv_act, mlp_act=mlp_act, f32_edges=f32_edges)
+            conv_act=conv_act, mlp_act=mlp_act, f32_edges=f32_edges,
+            oh_scr=oh_scr)
 
     def hash_bits(s, tag):
         # interpret-mode stand-in for the on-core PRNG (which has no CPU
@@ -694,11 +738,13 @@ def mega_md_steps(pos, vel, force, idx, build_mask, h0, mp: MegaParams,
     ])
     seeds = jnp.asarray(seed, jnp.int32).reshape(1)
 
+    cache_onehot = rows_total * n_pad * 2 <= _OH_CACHE_BYTES
     kernel = functools.partial(
         _mega_md_kernel, n_steps=n_steps, tile_n=tile_n, k=k, n_pad=n_pad,
         n_tiles=n_tiles, n_rows=n_rows_t, n_layers=mp.w_src.shape[0], d=d,
         flip_dir=flip_dir, use_ln=use_ln, conv_act=conv_act,
-        mlp_act=mlp_act, f32_edges=f32_edges, interpret_rng=interpret)
+        mlp_act=mlp_act, f32_edges=f32_edges, interpret_rng=interpret,
+        cache_onehot=cache_onehot)
 
     full = lambda: pl.BlockSpec(memory_space=pltpu.VMEM)
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -718,7 +764,8 @@ def mega_md_steps(pos, vel, force, idx, build_mask, h0, mp: MegaParams,
             pltpu.VMEM((n_rows_t, 128), jnp.float32),        # vel current
             pltpu.VMEM((n_rows_t, 128), jnp.float32),        # force
             pltpu.VMEM((n_pad, 128), jnp.bfloat16),          # pos packed
-        ],
+        ] + ([pltpu.VMEM((rows_total, n_pad), jnp.bfloat16)]  # onehot cache
+             if cache_onehot else []),
     )
 
     pos_o, vel_o, f_o, ke = pl.pallas_call(
@@ -815,11 +862,12 @@ def mega_forward(pos, idx, build_mask, h0, mp: MegaParams, box, cutoff,
         jnp.zeros(()), jnp.zeros(()), jnp.zeros(()),
     ])
 
+    cache_onehot = rows_total * n_pad * 2 <= _OH_CACHE_BYTES
     kernel = functools.partial(
         _mega_kernel, tile_n=tile_n, k=k, n_pad=n_pad, n_tiles=n_tiles,
         n_rows=n_rows_t, n_layers=mp.w_src.shape[0], d=d, flip_dir=flip_dir,
         use_ln=use_ln, conv_act=conv_act, mlp_act=mlp_act,
-        f32_edges=f32_edges)
+        f32_edges=f32_edges, cache_onehot=cache_onehot)
 
     # All tensor refs ride into VMEM whole (with their replica axis); the
     # kernel wrapper slices the current grid step's replica with a dynamic
@@ -839,7 +887,8 @@ def mega_forward(pos, idx, build_mask, h0, mp: MegaParams, box, cutoff,
             pltpu.VMEM((n_rows_t, d), jnp.float32),          # agg
             pltpu.VMEM((n_pad, 2 * d), jnp.bfloat16),        # hn hi|lo
             pltpu.VMEM((n_rows_t, h_dim), jnp.float32),      # dst stage
-        ],
+        ] + ([pltpu.VMEM((rows_total, n_pad), jnp.bfloat16)]  # onehot cache
+             if cache_onehot else []),
     )
 
     out = pl.pallas_call(
