@@ -11,6 +11,7 @@ Checks, each on the 258-atom LJ system with random-but-sane inputs:
   2. fused encoder kernel vs XLA featurization
   3. whole-model megakernel (incl. in-kernel mask refresh + denorm folding)
   4. megakernel replica axis consistency (R=4 grid vs per-replica calls)
+  5. banded large-N gather path (x-sort + circular band DMA) vs XLA
 
 Exit code 0 = all pass. Run via the verify skill after kernel changes.
 """
@@ -92,6 +93,18 @@ def main():
           flush=True)
     if d >= 1e-5:
         failures.append("replica axis")
+
+    # 5. banded gather path (the large-N scaling kernel): forces must match
+    # the XLA oracle on the same neighbor lists. Uses the production
+    # entry (banded_force_fn) so the x-sort + band layout + unsort
+    # round-trip is covered on the real compiler/chip.
+    banded = ff_x.banded_force_fn()
+    out_b, ovf = banded(pos, idx, mask)
+    if bool(ovf):
+        print("FAIL banded gather: band overflow flagged", flush=True)
+        failures.append("banded overflow")
+    # banded applies the true-cutoff mask itself from build lists.
+    check("banded gather forward", out_b, 0.05)
 
     if failures:
         print(f"FAILURES: {failures}")
