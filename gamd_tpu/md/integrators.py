@@ -189,34 +189,43 @@ def _nhc_propagate(vel, xi, vxi, g, masses, kt, ndf, q, dt, n_c, ys_weights):
     (reference: /root/reference/code/hack_integrator.py:289-316): same update
     order, same exp(-0.125 wdt vxi) double-half-kick form, same persistent
     chain-force vector G across calls.
+
+    Batch-polymorphic: `vel` may be [N, 3] or [..., N, 3] with xi/vxi/g
+    carrying matching leading axes ([..., M]) — each replica then evolves an
+    independent thermostat chain, all vectorized through the same scan (no
+    vmap lowering; this is what lets `Simulation.run_replicas` fuse NHC
+    replicas into one program).
     """
-    m_chain = xi.shape[0]
-    ke2 = 2.0 * kinetic_energy(vel, masses)
-    g = g.at[0].set((ke2 - ndf * kt) / q[0])
+    m_chain = xi.shape[-1]
+    ke2 = jnp.sum(masses[:, None] * vel * vel, axis=(-2, -1))   # [...] (2 KE)
+    g = g.at[..., 0].set((ke2 - ndf * kt) / q[0])
 
     # One (n_c, ys) sub-step; scanned over the flattened schedule.
     def substep(carry, wdt):
         xi, vxi, g, scale = carry
-        vxi = vxi.at[m_chain - 1].add(0.25 * wdt * g[m_chain - 1])
+        vxi = vxi.at[..., m_chain - 1].add(0.25 * wdt * g[..., m_chain - 1])
         for j in range(m_chain - 2, -1, -1):
-            aa = jnp.exp(-0.125 * wdt * vxi[j + 1])
-            vxi = vxi.at[j].set(aa * (aa * vxi[j] + 0.25 * wdt * g[j]))
-        aa = jnp.exp(-0.5 * wdt * vxi[0])
+            aa = jnp.exp(-0.125 * wdt * vxi[..., j + 1])
+            vxi = vxi.at[..., j].set(
+                aa * (aa * vxi[..., j] + 0.25 * wdt * g[..., j]))
+        aa = jnp.exp(-0.5 * wdt * vxi[..., 0])
         scale = scale * aa
         xi = xi + 0.5 * wdt * vxi
-        g = g.at[0].set((scale * scale * ke2 - ndf * kt) / q[0])
+        g = g.at[..., 0].set((scale * scale * ke2 - ndf * kt) / q[0])
         for j in range(m_chain - 1):
-            aa = jnp.exp(-0.125 * wdt * vxi[j + 1])
-            vxi = vxi.at[j].set(aa * (aa * vxi[j] + 0.25 * wdt * g[j]))
-            g = g.at[j + 1].set((q[j] * vxi[j] * vxi[j] - kt) / q[j + 1])
-        vxi = vxi.at[m_chain - 1].add(0.25 * wdt * g[m_chain - 1])
+            aa = jnp.exp(-0.125 * wdt * vxi[..., j + 1])
+            vxi = vxi.at[..., j].set(
+                aa * (aa * vxi[..., j] + 0.25 * wdt * g[..., j]))
+            g = g.at[..., j + 1].set(
+                (q[j] * vxi[..., j] * vxi[..., j] - kt) / q[j + 1])
+        vxi = vxi.at[..., m_chain - 1].add(0.25 * wdt * g[..., m_chain - 1])
         return (xi, vxi, g, scale), None
 
     wdts = jnp.asarray(
         np.tile(np.asarray(ys_weights, np.float64), n_c), vel.dtype) * dt / n_c
     (xi, vxi, g, scale), _ = jax.lax.scan(
-        substep, (xi, vxi, g, jnp.asarray(1.0, vel.dtype)), wdts)
-    return vel * scale, xi, vxi, g
+        substep, (xi, vxi, g, jnp.ones(ke2.shape, vel.dtype)), wdts)
+    return vel * scale[..., None, None], xi, vxi, g
 
 
 def nose_hoover_chain(force_fn: Callable, dt: float, masses, temp_k: float,
@@ -275,14 +284,16 @@ def nose_hoover_chain(force_fn: Callable, dt: float, masses, temp_k: float,
 
 def nhc_bath_energies(state: NoseHooverState, temp_k, frequency, ndf):
     """Heat-bath KE/PE, matching HackHalfNoseHooverIntegrator.computeEnergies
-    (reference: /root/reference/code/hack_integrator.py:483-493)."""
+    (reference: /root/reference/code/hack_integrator.py:483-493).
+    Batch-aware: [..., M] chain state yields [...] energies."""
     kt = units.KB * temp_k
-    m_chain = state.xi.shape[0]
+    m_chain = state.xi.shape[-1]
     q_single = kt / frequency**2
     q = jnp.concatenate([jnp.array([ndf * q_single]),
                          jnp.full((m_chain - 1,), q_single)])
-    bath_ke = 0.5 * jnp.sum(q * state.vxi**2)
-    bath_pe = kt * (ndf * state.xi[0] + jnp.sum(state.xi[1:]))
+    bath_ke = 0.5 * jnp.sum(q * state.vxi**2, axis=-1)
+    bath_pe = kt * (ndf * state.xi[..., 0] +
+                    jnp.sum(state.xi[..., 1:], axis=-1))
     return bath_ke, bath_pe
 
 

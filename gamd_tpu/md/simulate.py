@@ -489,7 +489,12 @@ class Simulation:
         batch dimension fills the MXU that a single 258-atom chain cannot).
         All RunResult fields gain a leading replica axis."""
         r = states.pos.shape[0]
-        if self.md.integrator == "nose_hoover":
+        if self.md.integrator == "nose_hoover" and self.constraint is not None:
+            # Constrained NHC replicas: SETTLE/RATTLE projections are
+            # single-system, so this path stays on the vmap lowering.
+            # Unconstrained NHC rides _make_run_replicas below — the chain
+            # math in _nhc_propagate is batch-polymorphic ([R, M] chain
+            # state, one fused program, no vmap through pallas_call).
             key = ("replicas-vmap", n_steps, type(states).__name__)
             if key not in self._run_cache:
                 self._run_cache[key] = jax.jit(

@@ -162,6 +162,30 @@ def test_replica_batched_simulation():
     assert np.abs(p[0] - p[1]).max() > 1e-4
 
 
+def test_replica_batched_nose_hoover_matches_single():
+    """Unconstrained NHC replicas run the fused batched path (chain state
+    [R, M] through the batch-polymorphic _nhc_propagate) — each replica must
+    match an independent single-system run of the same initial state."""
+    system, params, pos = small_lj_system(n=32)
+    md = MDConfig(integrator="nose_hoover", dt_fs=2.0, temperature=100.0,
+                  friction_per_ps=25.0, chain_length=10, rebuild_every=5)
+    sim = Simulation(lj.lj_force_fn(system.box, params), system, md)
+    states = sim.init_replicas(jnp.asarray(pos), n_replicas=3,
+                               rng=jax.random.PRNGKey(9))
+    result = sim.run_replicas(states, 30)
+    assert result.thermo.temperature.shape == (3, 30)
+    assert result.state.xi.shape == (3, 10)
+    for i in range(3):
+        single = jax.tree_util.tree_map(lambda a, i=i: a[i], states)
+        res_i = sim.run(single, 30)
+        np.testing.assert_allclose(np.asarray(result.state.pos[i]),
+                                   np.asarray(res_i.state.pos),
+                                   rtol=0, atol=5e-5)
+        np.testing.assert_allclose(np.asarray(result.state.vxi[i]),
+                                   np.asarray(res_i.state.vxi),
+                                   rtol=2e-4, atol=1e-7)
+
+
 def test_run_segmented_matches_thermo_shape():
     system, params, pos = small_lj_system(n=32)
     md = MDConfig(integrator="langevin", temperature=100.0, rebuild_every=5)
