@@ -21,11 +21,19 @@ per-call launch cost (~20-30 us) amortizes away and the number is the
 steady-state per-iteration cost. FLOP counts are printed so achieved
 TFLOP/s can be read against the ~197 bf16 TFLOP/s v5e peak.
 
-Each loop body mixes `o_ref[0:1] * 1e-30` back into one of its inputs:
-without that loop-carried dependence Mosaic hoists the loop-invariant
-body out of the fori_loop and the bench times ONE iteration divided by
-`iters` (first run of this script printed 5,167 "TFLOP/s" for the peak
-stage — 26x the chip's actual peak).
+Measurement integrity (hard-won): the first two designs of this loop
+produced impossible numbers (5,167-8,400 "TFLOP/s", 25-40x chip peak;
+every stage's wall time ~ launch + ONE iteration regardless of FLOP
+content) because the in-kernel fori_loop was collapsed — an overwrite
+store plus a 1e-30-scaled read-back was not enough of a dependence to
+keep 200 iterations alive. Three defenses now:
+  1. every iteration ACCUMULATES into o_ref (the output value is the sum
+     over iterations — eliding any iteration changes the result);
+  2. every timed call receives a fresh salt input (guards any
+     identical-call result reuse in the tunneled backend);
+  3. a calibration check times the peak stage at iters and iters/4 and
+     asserts the ratio is ~4 (printed; if it is ~1 the numbers are
+     garbage and the script says so).
 """
 
 import argparse
@@ -44,12 +52,24 @@ from jax.experimental.pallas import tpu as pltpu
 
 
 def timed(fn, args, iters, label, flops_per_iter, reps=5):
-    out = fn(*args)
+    """Time fn(*args, salt) with a FRESH salt array per call.
+
+    The salt is mixed into the kernel's compute at 1e-30 scale (timing
+    noise only); it guarantees no two timed calls have bit-identical
+    arguments, so no layer of the (tunneled) execution stack can serve a
+    memoized result. The primary defense against the collapsed-loop
+    artifact is the per-iteration ACCUMULATION into o_ref plus the
+    calibration check (see module docstring)."""
+    rng = np.random.RandomState(hash(label) & 0xffff)
+    salt = lambda: jnp.asarray(rng.randn(8, 128), jnp.float32)
+    out = fn(*args, salt())
     jax.block_until_ready(out)
     best = float("inf")
     for _ in range(reps):
+        s = salt()
+        jax.block_until_ready(s)
         t0 = time.perf_counter()
-        out = fn(*args)
+        out = fn(*args, s)
         jax.block_until_ready(out)
         best = min(best, time.perf_counter() - t0)
     us = best / iters * 1e6
@@ -90,32 +110,48 @@ def main():
     rng = np.random.RandomState(0)
     full = lambda: pl.BlockSpec(memory_space=pltpu.VMEM)
 
-    def run(body, inputs, out_shape, label, flops, scratch=()):
-        kern = functools.partial(loop_kernel(body), iters=args.iters)
+    def run(body, inputs, out_shape, label, flops, scratch=(),
+            iters=None):
+        # +1 input: the per-call salt array appended by timed().
+        it = iters or args.iters
+        kern = functools.partial(loop_kernel(body), iters=it)
         f = pl.pallas_call(
             kern,
-            in_specs=[full()] * len(inputs),
+            in_specs=[full()] * (len(inputs) + 1),
             out_specs=full(),
             out_shape=out_shape,
             scratch_shapes=list(scratch),
             interpret=interp,
         )
         jf = jax.jit(f)
-        return timed(jf, inputs, args.iters, label, flops)
+        return timed(jf, inputs, it, label, flops)
 
     # ---- peak: dense bf16 matmul chain ------------------------------------
-    a = jnp.asarray(rng.randn(512, 512), bf)
-    w = jnp.asarray(rng.randn(512, 512), bf)
+    a = jnp.asarray(rng.randn(512, 512) * 0.04, bf)
+    w = jnp.asarray(rng.randn(512, 512) * 0.04, bf)
 
-    def peak_body(i, a_ref, w_ref, o_ref):
-        x = a_ref[:, :] + (o_ref[0:1, :] * 1e-30).astype(bf)
+    def peak_body(i, a_ref, w_ref, salt_ref, o_ref):
+        x = a_ref[:, :] + ((o_ref[0:1, :] * 1e-30).astype(bf)
+                           + (salt_ref[0, 0] * 1e-30).astype(bf))
         for _ in range(4):
             x = jnp.dot(x, w_ref[:, :],
                         preferred_element_type=jnp.float32).astype(bf)
-        o_ref[:, :] = x.astype(jnp.float32)
+        o_ref[:, :] = o_ref[:, :] * 0.5 + x.astype(jnp.float32)
 
-    run(peak_body, (a, w), jax.ShapeDtypeStruct((512, 512), jnp.float32),
-        "peak", 4 * 2 * 512**3)
+    t_full = run(peak_body, (a, w),
+                 jax.ShapeDtypeStruct((512, 512), jnp.float32),
+                 "peak", 4 * 2 * 512**3)
+    it_q = max(1, args.iters // 4)
+    t_q = run(peak_body, (a, w),
+              jax.ShapeDtypeStruct((512, 512), jnp.float32),
+              "peak_quarter", 4 * 2 * 512**3, iters=it_q)
+    # Per-iter times should MATCH if the loop really runs; total time
+    # ratio ~4. If per-iter at full iters is ~4x SMALLER, the loop
+    # collapsed and every number below is garbage.
+    ratio = (t_q * it_q) / max(t_full * args.iters, 1e-9) * (args.iters / it_q)
+    tag = "OK" if 0.6 < ratio < 1.7 else "LOOP-COLLAPSED (numbers invalid)"
+    print(f"calibration: per-iter(quarter)/per-iter(full) = {ratio:.2f} "
+          f"[{tag}]")
 
     # ---- gather_mm: prebuilt one-hot x hi/lo node matrices ----------------
     onehot = jnp.asarray(
@@ -124,13 +160,14 @@ def main():
     nh = jnp.asarray(rng.randn(n_pad, D), bf)
     nl = jnp.asarray(rng.randn(n_pad, D) * 1e-3, bf)
 
-    def gmm_body(i, oh_ref, nh_ref, nl_ref, o_ref):
-        nh_eff = nh_ref[:, :] + (o_ref[0:1, :] * 1e-30).astype(bf)
+    def gmm_body(i, oh_ref, nh_ref, nl_ref, salt_ref, o_ref):
+        nh_eff = nh_ref[:, :] + ((o_ref[0:1, :] * 1e-30).astype(bf)
+                                 + (salt_ref[0, 0] * 1e-30).astype(bf))
         ghi = jnp.dot(oh_ref[:, :], nh_eff,
                       preferred_element_type=jnp.float32)
         glo = jnp.dot(oh_ref[:, :], nl_ref[:, :],
                       preferred_element_type=jnp.float32)
-        o_ref[:, :] = ghi + glo
+        o_ref[:, :] = o_ref[:, :] * 0.5 + ghi + glo
 
     run(gmm_body, (onehot, nh, nl),
         jax.ShapeDtypeStruct((rows, D), jnp.float32),
@@ -153,9 +190,10 @@ def main():
     idx_col = jnp.asarray(rng.randint(0, args.n, (rows, 1)), jnp.int32)
     ws = jnp.asarray(rng.randn(D, D), jnp.float32)
 
-    def gfull_body(i, idx_ref, nh_ref, nl_ref, ws_ref, o_ref):
+    def gfull_body(i, idx_ref, nh_ref, nl_ref, ws_ref, salt_ref, o_ref):
         # idx depends on the carry so the one-hot build re-executes per iter.
-        idx_eff = idx_ref[:, :] + (o_ref[0, 0] * 1e-30).astype(jnp.int32)
+        idx_eff = idx_ref[:, :] + (o_ref[0, 0] * 1e-30
+                                   + salt_ref[0, 0] * 1e-30).astype(jnp.int32)
         iota = jax.lax.broadcasted_iota(jnp.int32, (rows, n_pad), 1)
         oh = (iota == idx_eff).astype(bf)
         ghi = jnp.dot(oh, nh_ref[:, :], preferred_element_type=jnp.float32)
@@ -169,7 +207,7 @@ def main():
                          preferred_element_type=jnp.float32)
                + jnp.dot(glo.astype(bf), ws_hi,
                          preferred_element_type=jnp.float32))
-        o_ref[:, :] = src + ghi + glo
+        o_ref[:, :] = o_ref[:, :] * 0.5 + src + ghi + glo
 
     run(gfull_body, (idx_col, nh, nl, ws),
         jax.ShapeDtypeStruct((rows, D), jnp.float32),
@@ -184,15 +222,16 @@ def main():
     def silu(x):
         return x * jax.nn.sigmoid(x)
 
-    def emlp_body(i, e_ref, w_ref, o_ref):
-        x = e_ref[:, :].astype(jnp.float32) + o_ref[0:1, :] * 1e-30
+    def emlp_body(i, e_ref, w_ref, salt_ref, o_ref):
+        x = (e_ref[:, :].astype(jnp.float32) + o_ref[0:1, :] * 1e-30
+             + salt_ref[0, 0] * 1e-30)
         mm = lambda a: jnp.dot(a.astype(bf), w_ref[:, :].astype(bf),
                                preferred_element_type=jnp.float32)
         z = silu(mm(x))
         z = mm(z)
         z = silu(mm(silu(z)))
         z = mm(z)
-        o_ref[:, :] = z
+        o_ref[:, :] = o_ref[:, :] * 0.5 + z
 
     run(emlp_body, (e, w1), jax.ShapeDtypeStruct((rows, D), jnp.float32),
         "edge_mlp", 4 * 2 * rows * D * D)
@@ -200,9 +239,10 @@ def main():
     # ---- repeat: the dst/ctr k-broadcast relayout --------------------------
     dst = jnp.asarray(rng.randn(tile_n, D), jnp.float32)
 
-    def rep_body(i, d_ref, o_ref):
-        o_ref[:, :] = jnp.repeat(d_ref[:, :] + o_ref[0:1, :] * 1e-30,
-                                 k, axis=0)
+    def rep_body(i, d_ref, salt_ref, o_ref):
+        o_ref[:, :] = o_ref[:, :] * 0.5 + jnp.repeat(
+            d_ref[:, :] + o_ref[0:1, :] * 1e-30 + salt_ref[0, 0] * 1e-30,
+            k, axis=0)
 
     run(rep_body, (dst,), jax.ShapeDtypeStruct((rows, D), jnp.float32),
         "repeat", 0)
@@ -235,10 +275,14 @@ def main():
     out = fwd(pos)
     jax.block_until_ready(out)
     best = float("inf")
-    for _ in range(5):
+    for r in range(5):
+        # Distinct positions per call — identical-argument repeat calls
+        # can be served from the tunneled backend's execution cache.
+        ps = [pos + jnp.float32(1e-5 * (r * 20 + i + 1)) for i in range(20)]
+        jax.block_until_ready(ps)
         t0 = time.perf_counter()
-        for _ in range(20):
-            out = fwd(pos)
+        for p_i in ps:
+            out = fwd(p_i)
         jax.block_until_ready(out)
         best = min(best, (time.perf_counter() - t0) / 20)
     print(f"{'forward':14s} {best * 1e6:9.2f} us/call  "
