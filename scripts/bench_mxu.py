@@ -121,6 +121,10 @@ def main():
             out_specs=full(),
             out_shape=out_shape,
             scratch_shapes=list(scratch),
+            # Mosaic's default 16 MB scoped-VMEM cap rejects the wide-M
+            # stages (gather_mm_8M at tile_n>=32); v5e has 128 MB.
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=100 * 2**20),
             interpret=interp,
         )
         jf = jax.jit(f)
