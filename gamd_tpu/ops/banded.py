@@ -210,6 +210,9 @@ def banded_conv_message(e, idx_loc, mask, lo, nodes, dst_code, layer,
             bytes_accessed=4 * n * k * e_dim + n_tiles * band * 4 * d,
             transcendentals=3 * n * k * h_dim,
         ),
+        # Large N (>= ~32k) spills a few MB past Mosaic's default 16 MB
+        # scoped-VMEM stack cap; the v5e has 128 MB of VMEM.
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=64 * 2**20),
         interpret=interpret,
     )(lo.astype(jnp.int32), e.astype(jnp.float32), idx_loc.astype(jnp.int32),
       mask, dst_code.astype(jnp.float32), nodes_hi, nodes_lo,
