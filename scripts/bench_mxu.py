@@ -21,19 +21,21 @@ per-call launch cost (~20-30 us) amortizes away and the number is the
 steady-state per-iteration cost. FLOP counts are printed so achieved
 TFLOP/s can be read against the ~197 bf16 TFLOP/s v5e peak.
 
-Measurement integrity (hard-won): the first two designs of this loop
+Measurement integrity (hard-won): the first THREE designs of this loop
 produced impossible numbers (5,167-8,400 "TFLOP/s", 25-40x chip peak;
 every stage's wall time ~ launch + ONE iteration regardless of FLOP
-content) because the in-kernel fori_loop was collapsed — an overwrite
-store plus a 1e-30-scaled read-back was not enough of a dependence to
-keep 200 iterations alive. Three defenses now:
-  1. every iteration ACCUMULATES into o_ref (the output value is the sum
-     over iterations — eliding any iteration changes the result);
+content) because the in-kernel fori_loop was collapsed. Neither an
+overwrite store + 1e-30 read-back, nor per-iteration accumulation into
+o_ref, kept the iterations alive on the real Mosaic pipeline (ref
+load/store forwarding reduces the chain before the loop survives).
+The design that measures truthfully:
+  1. the loop body is PURE — the accumulator rides the fori_loop CARRY
+     (a value, not a ref), and o_ref is written ONCE after the loop, so
+     the stored value is data-dependent on every iteration;
   2. every timed call receives a fresh salt input (guards any
      identical-call result reuse in the tunneled backend);
   3. a calibration check times the peak stage at iters and iters/4 and
-     asserts the ratio is ~4 (printed; if it is ~1 the numbers are
-     garbage and the script says so).
+     prints LOOP-COLLAPSED if the per-iteration times diverge.
 """
 
 import argparse
@@ -58,8 +60,8 @@ def timed(fn, args, iters, label, flops_per_iter, reps=5):
     noise only); it guarantees no two timed calls have bit-identical
     arguments, so no layer of the (tunneled) execution stack can serve a
     memoized result. The primary defense against the collapsed-loop
-    artifact is the per-iteration ACCUMULATION into o_ref plus the
-    calibration check (see module docstring)."""
+    artifact is the pure carry-threaded loop body plus the calibration
+    check (see module docstring)."""
     rng = np.random.RandomState(hash(label) & 0xffff)
     salt = lambda: jnp.asarray(rng.randn(8, 128), jnp.float32)
     out = fn(*args, salt())
@@ -78,13 +80,16 @@ def timed(fn, args, iters, label, flops_per_iter, reps=5):
     return us
 
 
-def loop_kernel(body, n_out=1):
-    """Wrap `body(refs...) -> stores into out` in an iters-loop kernel."""
+def loop_kernel(body):
+    """Wrap a PURE `body(i, acc, *in_refs) -> acc'` in an iters-loop
+    kernel. The accumulator is the fori_loop carry; o_ref is stored once
+    after the loop, so every iteration is live by data dependence."""
     def kernel(*refs, iters):
-        def it(i, _):
-            body(i, *refs)
-            return 0
-        jax.lax.fori_loop(0, iters, it, 0)
+        in_refs, o_ref = refs[:-1], refs[-1]
+        acc = jnp.zeros_like(o_ref)
+        acc = jax.lax.fori_loop(
+            0, iters, lambda i, a: body(i, a, *in_refs), acc)
+        o_ref[:, :] = acc
     return kernel
 
 
@@ -134,13 +139,13 @@ def main():
     a = jnp.asarray(rng.randn(512, 512) * 0.04, bf)
     w = jnp.asarray(rng.randn(512, 512) * 0.04, bf)
 
-    def peak_body(i, a_ref, w_ref, salt_ref, o_ref):
-        x = a_ref[:, :] + ((o_ref[0:1, :] * 1e-30).astype(bf)
+    def peak_body(i, acc, a_ref, w_ref, salt_ref):
+        x = a_ref[:, :] + ((acc[0:1, :] * 1e-30).astype(bf)
                            + (salt_ref[0, 0] * 1e-30).astype(bf))
         for _ in range(4):
             x = jnp.dot(x, w_ref[:, :],
                         preferred_element_type=jnp.float32).astype(bf)
-        o_ref[:, :] = o_ref[:, :] * 0.5 + x.astype(jnp.float32)
+        return acc * 0.5 + x.astype(jnp.float32)
 
     t_full = run(peak_body, (a, w),
                  jax.ShapeDtypeStruct((512, 512), jnp.float32),
@@ -164,14 +169,14 @@ def main():
     nh = jnp.asarray(rng.randn(n_pad, D), bf)
     nl = jnp.asarray(rng.randn(n_pad, D) * 1e-3, bf)
 
-    def gmm_body(i, oh_ref, nh_ref, nl_ref, salt_ref, o_ref):
-        nh_eff = nh_ref[:, :] + ((o_ref[0:1, :] * 1e-30).astype(bf)
+    def gmm_body(i, acc, oh_ref, nh_ref, nl_ref, salt_ref):
+        nh_eff = nh_ref[:, :] + ((acc[0:1, :] * 1e-30).astype(bf)
                                  + (salt_ref[0, 0] * 1e-30).astype(bf))
         ghi = jnp.dot(oh_ref[:, :], nh_eff,
                       preferred_element_type=jnp.float32)
         glo = jnp.dot(oh_ref[:, :], nl_ref[:, :],
                       preferred_element_type=jnp.float32)
-        o_ref[:, :] = o_ref[:, :] * 0.5 + ghi + glo
+        return acc * 0.5 + ghi + glo
 
     run(gmm_body, (onehot, nh, nl),
         jax.ShapeDtypeStruct((rows, D), jnp.float32),
@@ -194,9 +199,9 @@ def main():
     idx_col = jnp.asarray(rng.randint(0, args.n, (rows, 1)), jnp.int32)
     ws = jnp.asarray(rng.randn(D, D), jnp.float32)
 
-    def gfull_body(i, idx_ref, nh_ref, nl_ref, ws_ref, salt_ref, o_ref):
+    def gfull_body(i, acc, idx_ref, nh_ref, nl_ref, ws_ref, salt_ref):
         # idx depends on the carry so the one-hot build re-executes per iter.
-        idx_eff = idx_ref[:, :] + (o_ref[0, 0] * 1e-30
+        idx_eff = idx_ref[:, :] + (acc[0, 0] * 1e-30
                                    + salt_ref[0, 0] * 1e-30).astype(jnp.int32)
         iota = jax.lax.broadcasted_iota(jnp.int32, (rows, n_pad), 1)
         oh = (iota == idx_eff).astype(bf)
@@ -211,7 +216,7 @@ def main():
                          preferred_element_type=jnp.float32)
                + jnp.dot(glo.astype(bf), ws_hi,
                          preferred_element_type=jnp.float32))
-        o_ref[:, :] = o_ref[:, :] * 0.5 + src + ghi + glo
+        return acc * 0.5 + src + ghi + glo
 
     run(gfull_body, (idx_col, nh, nl, ws),
         jax.ShapeDtypeStruct((rows, D), jnp.float32),
@@ -226,8 +231,8 @@ def main():
     def silu(x):
         return x * jax.nn.sigmoid(x)
 
-    def emlp_body(i, e_ref, w_ref, salt_ref, o_ref):
-        x = (e_ref[:, :].astype(jnp.float32) + o_ref[0:1, :] * 1e-30
+    def emlp_body(i, acc, e_ref, w_ref, salt_ref):
+        x = (e_ref[:, :].astype(jnp.float32) + acc[0:1, :] * 1e-30
              + salt_ref[0, 0] * 1e-30)
         mm = lambda a: jnp.dot(a.astype(bf), w_ref[:, :].astype(bf),
                                preferred_element_type=jnp.float32)
@@ -235,7 +240,7 @@ def main():
         z = mm(z)
         z = silu(mm(silu(z)))
         z = mm(z)
-        o_ref[:, :] = o_ref[:, :] * 0.5 + z
+        return acc * 0.5 + z
 
     run(emlp_body, (e, w1), jax.ShapeDtypeStruct((rows, D), jnp.float32),
         "edge_mlp", 4 * 2 * rows * D * D)
@@ -243,9 +248,9 @@ def main():
     # ---- repeat: the dst/ctr k-broadcast relayout --------------------------
     dst = jnp.asarray(rng.randn(tile_n, D), jnp.float32)
 
-    def rep_body(i, d_ref, salt_ref, o_ref):
-        o_ref[:, :] = o_ref[:, :] * 0.5 + jnp.repeat(
-            d_ref[:, :] + o_ref[0:1, :] * 1e-30 + salt_ref[0, 0] * 1e-30,
+    def rep_body(i, acc, d_ref, salt_ref):
+        return acc * 0.5 + jnp.repeat(
+            d_ref[:, :] + acc[0:1, :] * 1e-30 + salt_ref[0, 0] * 1e-30,
             k, axis=0)
 
     run(rep_body, (dst,), jax.ShapeDtypeStruct((rows, D), jnp.float32),
