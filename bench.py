@@ -20,7 +20,11 @@ import jax.numpy as jnp
 import numpy as np
 
 # Tuning knobs for on-chip sweeps (driver runs plain `python bench.py`).
-TILE_N = int(os.environ.get("GAMD_BENCH_TILE_N", "16"))
+# tile_n=136 won the round-3 on-chip sweep (4,548 steps/s vs 4,140 at 16,
+# 4,122 at 32, 4,218 at 72; 272 exceeded the compile budget): two 136-row
+# tiles cover N=258, and each gather/edge matmul runs at M=6,528 rows
+# instead of 768 — better MXU utilization per program invocation.
+TILE_N = int(os.environ.get("GAMD_BENCH_TILE_N", "136"))
 # k_model=48: nearest-48 slice of the distance-sorted build list (K=64),
 # overflow-guarded (the guard would flag any dropped cutoff+skin neighbor;
 # LJ-258 at rho*=0.5 tops out ~45). ~25% FLOP cut, measured safe.
