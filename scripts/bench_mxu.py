@@ -278,24 +278,37 @@ def main():
     h0 = jnp.broadcast_to(state.params["node_emb"][0],
                           (system.n_atoms, D))
 
-    fwd = jax.jit(lambda p: mega_forward(
-        p, idx, mask, h0, mp, system.box, system.cutoff, 1.0, 0.5,
-        tile_n=tile_n, interpret=interp))
-    out = fwd(pos)
+    def fwd_one(p):
+        return mega_forward(
+            p, idx, mask, h0, mp, system.box, system.cutoff, 1.0, 0.5,
+            tile_n=tile_n, interpret=interp)
+
+    # ONE device dispatch for all repetitions: chain each forward's output
+    # back into the next call's positions (at 1e-7 scale) inside a scan —
+    # per-call tunnel dispatch is ~1-2 ms on this backend, which swamps a
+    # ~200 us kernel if each repetition is its own dispatch.
+    n_rep = 20
+
+    @jax.jit
+    def fwd_chain(p):
+        def step(pc, _):
+            f = fwd_one(pc)
+            return pc + 1e-7 * f, f[0, 0]
+        _, trace = jax.lax.scan(step, p, None, length=n_rep)
+        return trace
+
+    out = fwd_chain(pos)
     jax.block_until_ready(out)
     best = float("inf")
     for r in range(5):
-        # Distinct positions per call — identical-argument repeat calls
-        # can be served from the tunneled backend's execution cache.
-        ps = [pos + jnp.float32(1e-5 * (r * 20 + i + 1)) for i in range(20)]
-        jax.block_until_ready(ps)
+        p_r = pos + jnp.float32(1e-5 * (r + 1))   # distinct args per call
+        jax.block_until_ready(p_r)
         t0 = time.perf_counter()
-        for p_i in ps:
-            out = fwd(p_i)
+        out = fwd_chain(p_r)
         jax.block_until_ready(out)
-        best = min(best, (time.perf_counter() - t0) / 20)
+        best = min(best, (time.perf_counter() - t0) / n_rep)
     print(f"{'forward':14s} {best * 1e6:9.2f} us/call  "
-          f"(includes launch ~20-30 us)")
+          f"(scan-chained, dispatch amortized over {n_rep})")
 
 
 if __name__ == "__main__":
