@@ -57,6 +57,10 @@ def main():
     parser.add_argument("--megastep", action="store_true",
                         help="whole neighbor-reuse window per Pallas program"
                              " (fastest path; langevin, unconstrained only)")
+    parser.add_argument("--banded", action="store_true",
+                        help="x-sorted banded-gather force path for large N "
+                             "(ops/banded.py; fixed scalar box; uses the "
+                             "cell-list neighbor search)")
     parser.add_argument("--k_model", default=None, type=int,
                         help="slice the distance-sorted neighbor list to "
                              "this K for the force model (overflow-guarded)")
@@ -177,6 +181,24 @@ def main():
                   "whose murmur3-hash Gaussian stream is test-quality "
                   "randomness only — do not use for production rollouts")
         megastep_fn = ff.megastep_fn(interpret=args.cpu)
+    nbr_method = "dense"
+    if args.banded:
+        if args.megakernel or args.megastep:
+            parser.error("--banded is an alternative force path to "
+                         "--megakernel/--megastep")
+        if force_closure is not None:
+            parser.error("--banded does not support the dft deployment "
+                         "closure")
+        import dataclasses as _dc
+        if system.nbr_capacity < 96:
+            # Thermal LJ at rho*=0.5 peaks ~66 in-radius neighbors at the
+            # preset skin — the preset's 64 saturates.
+            system = _dc.replace(system, nbr_capacity=96)
+        force_closure = ff.banded_force_fn(interpret=args.cpu)
+        # Cell-list only where the box is >=4 cells wide (at small N the
+        # 3-cell-wide box wraps neighbor shells and the searcher flags
+        # overflow); dense top-K is the right searcher there anyway.
+        nbr_method = "cell" if system.n_atoms > 1024 else "dense"
     if force_closure is None:
         force_closure = ff.force_fn(
             megakernel=args.megakernel or args.megastep,
@@ -184,7 +206,7 @@ def main():
     sim = Simulation(
         force_closure,
         system, md, constraint=constraint, k_model=args.k_model,
-        megastep_fn=megastep_fn)
+        megastep_fn=megastep_fn, nbr_method=nbr_method)
     st = sim.init_state(jnp.asarray(pos), rng=jax.random.PRNGKey(args.seed))
 
     print(f"Simulating {system.n_atoms} atoms, {args.steps} steps "
