@@ -118,6 +118,117 @@ def _slab_forward(mp, box, cutoff, nbr_capacity, length_mean, length_std,
     return jnp.where(valid_l[:, None], forces, 0.0), ovf
 
 
+def _wide_slab_forward(mp, box, cutoff, nbr_capacity, length_mean,
+                       length_std, exchange, pos_l, valid_l, h0_own, aid_l,
+                       flip_dir, use_ln, conv_act, mlp_act, rbf_gap):
+    """Wide-halo slab forward: ONE position exchange, whole forward local.
+
+    The exchange strips must cover n_layers * cutoff (caller-asserted), so
+    every owned atom's full L-hop receptive field is resident. All env rows
+    (owned + ghosts) run the encoder and every conv layer locally — ghosts
+    near the outer halo edge compute progressively wrong embeddings, but
+    wrongness at depth l only reaches (L - l) * cutoff inward, which the
+    halo width keeps away from owned rows. Owned forces are exact (up to
+    fp reassociation) with ZERO per-layer communication: one ppermute pair
+    per force evaluation instead of 1 + n_layers. The trade is redundant
+    conv compute on the two ghost strips — the right side of the
+    compute-vs-ICI-latency trade when slabs are wide (large N per chip).
+    """
+    n_layers = mp.w_src.shape[0]
+    c = pos_l.shape[0]
+    env_pos, env_ok = exchange(pos_l, valid_l)
+    e_rows = env_pos.shape[0]
+    # Square-over-env neighbor list: every env row is a query too.
+    idx, mask, ovf = rect_neighbor_list(
+        env_pos, env_pos, env_ok, box, cutoff, nbr_capacity,
+        self_idx=jnp.arange(e_rows, dtype=jnp.int32))
+    mask = mask & env_ok[:, None]
+
+    rel = space.min_image(env_pos[idx] - env_pos[:, None, :], box)
+    dist = jnp.sqrt(jnp.sum(rel * rel, axis=-1))
+    unit = rel / (dist[..., None] + 1e-8)
+    if flip_dir:
+        unit = -unit
+    std = (dist - length_mean) / length_std
+    bond = None
+    if aid_l is not None:
+        aid_env, _ = exchange(aid_l, valid_l)
+        bond = water_bond_mask(aid_env[:, None], aid_env[idx])
+    e = encode_edges(mp, unit, std, bond, mlp_act, rbf_gap)
+
+    h_env, _ = exchange(h0_own, valid_l)
+    for layer in range(n_layers):
+        hn = node_norm(mp, layer, h_env, use_ln)
+        h_env = conv_apply(mp, layer, h_env, hn, hn, e, idx, mask, conv_act)
+    forces = decode_nodes(mp, h_env[:c], mlp_act)
+    return jnp.where(valid_l[:, None], forces, 0.0), ovf
+
+
+def make_wide_halo_gnn_force(mesh: Mesh, mp: MegaParams, box: float,
+                             n_slabs: int, cutoff: float, skin: float,
+                             nbr_capacity: int, h0_row, length_mean,
+                             length_std, flip_dir=False, use_ln=True,
+                             conv_act="silu", mlp_act="gelu", rbf_gap=0.025,
+                             axis: str = "dp", use_bond: bool = False,
+                             per_atom_h0: bool = False):
+    """Wide-halo variant of make_halo_gnn_force: sort the state with
+    halo_width = n_layers * cutoff + skin (wide_halo_width helper), then
+    each force call does ONE strip exchange and computes the whole model
+    locally — see _wide_slab_forward for the latency/compute trade.
+    Requires slab width >= the wide halo, i.e. large boxes (the scaling
+    regime this path exists for)."""
+    assert mesh.shape[axis] == n_slabs
+    n_layers = mp.w_src.shape[0]
+    halo_width = n_layers * cutoff + skin
+    slab_w = box / n_slabs
+    assert slab_w >= halo_width, (
+        f"wide halo needs slab width {slab_w:.2f} >= n_layers*cutoff+skin "
+        f"= {halo_width:.2f}; use make_halo_gnn_force (layer-wise) for "
+        f"small boxes")
+    d = mp.w_src.shape[-2]
+
+    def local_force(pos_l, valid_l, lidx, ridx, lval, rval, *extra):
+        exchange = _make_exchange(axis, n_slabs, lidx, ridx, lval, rval)
+        i = 0
+        if per_atom_h0:
+            h0_own = extra[i]; i += 1
+        else:
+            h0_own = jnp.broadcast_to(h0_row, (pos_l.shape[0], d))
+        aid_l = extra[i] if use_bond else None
+        forces, ovf = _wide_slab_forward(
+            mp, box, cutoff, nbr_capacity, length_mean, length_std,
+            exchange, pos_l, valid_l, h0_own, aid_l, flip_dir, use_ln,
+            conv_act, mlp_act, rbf_gap)
+        ovf_all = jax.lax.psum(ovf.astype(jnp.int32), axis) > 0
+        return forces, ovf_all
+
+    spec3 = P(axis)
+    n_extra = int(per_atom_h0) + int(use_bond)
+    in_specs = (spec3,) * (6 + n_extra)
+
+    @jax.jit
+    def force_fn(state: SlabState):
+        mapped = shard_map(
+            local_force, mesh=mesh, in_specs=in_specs,
+            out_specs=(spec3, P()))
+        extra = ()
+        if per_atom_h0:
+            extra += (state.aux["h0"],)
+        if use_bond:
+            extra += (state.aux["aid"],)
+        return mapped(state.pos, state.valid, state.left_idx,
+                      state.right_idx, state.left_val, state.right_val,
+                      *extra)
+
+    return force_fn
+
+
+def wide_halo_width(mp: MegaParams, cutoff: float, skin: float) -> float:
+    """Sort-time halo width for the wide-halo path (pass to
+    sort_into_slabs): the L-layer receptive field plus skin."""
+    return mp.w_src.shape[0] * cutoff + skin
+
+
 def make_halo_gnn_force(mesh: Mesh, mp: MegaParams, box: float,
                         n_slabs: int, cutoff: float, skin: float,
                         nbr_capacity: int, h0_row, length_mean, length_std,

@@ -288,3 +288,53 @@ def test_halo_gnn_md_chunk_runs():
     assert bool(jnp.isfinite(out.pos[out.valid]).all())
     assert bool(jnp.isfinite(out.vel[out.valid]).all())
     assert int(out.valid.sum()) == 512
+
+
+def test_wide_halo_gnn_forces_match_single_device():
+    """Wide-halo path: ONE position exchange (halo = n_layers*cutoff+skin),
+    whole forward computed locally per slab — owned forces must match the
+    single-device forward per atom. This is the latency-lean counterpart
+    to the layer-wise exchange, and the layout the banded kernel composes
+    with (round-4 roadmap)."""
+    from gamd_tpu.parallel.halo_gnn import (make_wide_halo_gnn_force,
+                                            wide_halo_width)
+
+    n, box, n_slabs = 2000, 48.0, 4
+    cutoff, skin, k = 2.8, 0.2, 16
+    rng = np.random.RandomState(11)
+    pos = jnp.asarray(rng.uniform(0, box, (n, 3)).astype(np.float32))
+    cfg, mp, h0_row = _model()
+    halo = wide_halo_width(mp, cutoff, skin)
+    assert box / n_slabs >= halo
+
+    mesh = make_mesh(n_slabs)
+    cap, hs = 768, 640
+    aid = jnp.arange(n, dtype=jnp.int32)
+    st = sort_into_slabs(pos, jnp.zeros_like(pos), box, n_slabs, cap,
+                         halo, hs, jax.random.PRNGKey(0),
+                         extras={"aid": aid})
+    assert not bool(st.overflow)
+
+    force_fn = make_wide_halo_gnn_force(
+        mesh, mp, box, n_slabs, cutoff, skin, k, h0_row,
+        length_mean=2.0, length_std=0.8)
+    f_slab, ovf = force_fn(st)
+    assert not bool(ovf)
+
+    posw = space.wrap(pos, box)
+    idx, mask, _ = dense_neighbor_list(posw, box, cutoff, k)
+    h0 = jnp.broadcast_to(h0_row, (n, h0_row.shape[-1]))
+    f_ref = np.asarray(reference_forward(posw, idx, mask, h0, mp, box,
+                                         None, 2.0, 0.8))
+
+    rows_aid = np.asarray(st.aux["aid"])
+    rows_val = np.asarray(st.valid)
+    f_rows = np.asarray(f_slab)
+    checked = 0
+    for r in range(rows_aid.shape[0]):
+        if not rows_val[r]:
+            continue
+        np.testing.assert_allclose(f_rows[r], f_ref[rows_aid[r]],
+                                   atol=2e-4, rtol=1e-4)
+        checked += 1
+    assert checked == n
