@@ -295,13 +295,16 @@ def make_halo_gnn_md(mesh: Mesh, mp: MegaParams, box: float, n_slabs: int,
                      force_unit: float = 1.0, use_ln=True, axis: str = "dp",
                      use_bond: bool = False, per_atom_h0: bool = False,
                      per_atom_mass: bool = False, flip_dir=False,
-                     conv_act="silu", mlp_act="gelu", rbf_gap=0.025):
+                     conv_act="silu", mlp_act="gelu", rbf_gap=0.025,
+                     wide: bool = False):
     """chunk_fn(state, n_steps) for BAOAB GNN-MD over the mesh — the GNN
     analogue of halo.make_halo_lj_step (sort with halo.sort_into_slabs at
-    halo_width = cutoff + skin). force_unit converts model output to
-    internal kJ/mol/A (fold the scaler into mp via pack_params instead when
-    possible). per_atom_mass reads state.aux["mass"] [P*C] (water O/H);
-    masses_scalar is then unused."""
+    halo_width = cutoff + skin, or wide_halo_width(...) when wide=True).
+    force_unit converts model output to internal kJ/mol/A (fold the scaler
+    into mp via pack_params instead when possible). per_atom_mass reads
+    state.aux["mass"] [P*C] (water O/H); masses_scalar is then unused.
+    wide=True uses the one-exchange wide-halo forward (_wide_slab_forward)
+    — caller must sort with the wide halo width."""
     dt = dt_fs * units.FS
     gamma = friction_per_ps / units.PS
     a = float(np.exp(-gamma * dt))
@@ -330,9 +333,11 @@ def make_halo_gnn_md(mesh: Mesh, mp: MegaParams, box: float, n_slabs: int,
             m = masses_scalar
         sigma_v = jnp.sqrt(kbt / m)
 
+        fwd = _wide_slab_forward if wide else _slab_forward
+
         def gnn_force(p):
             posw = space.wrap(p, box)
-            f, _ = _slab_forward(
+            f, _ = fwd(
                 mp, box, cutoff, nbr_capacity, length_mean, length_std,
                 exchange, posw, valid_l, h0_own, aid_l, flip_dir, use_ln,
                 conv_act, mlp_act, rbf_gap)

@@ -338,3 +338,76 @@ def test_wide_halo_gnn_forces_match_single_device():
                                    atol=2e-4, rtol=1e-4)
         checked += 1
     assert checked == n
+
+
+def test_wide_halo_gnn_md_trajectory_parity():
+    """make_halo_gnn_md(wide=True): deterministic (gamma=0) distributed MD
+    on the wide-halo forward tracks the single-device trajectory through
+    re-sort cycles."""
+    from gamd_tpu.parallel.halo_gnn import (make_halo_gnn_md,
+                                            run_halo_gnn_md,
+                                            wide_halo_width)
+
+    n, box, n_slabs = 2000, 48.0, 4
+    cutoff, skin, k = 2.8, 0.2, 16
+    rngn = np.random.RandomState(13)
+    pos = jnp.asarray(rngn.uniform(0, box, (n, 3)).astype(np.float32))
+    vel = jnp.asarray(rngn.randn(n, 3).astype(np.float32) * 0.02)
+    cfg, mp, h0_row = _model()
+    halo = wide_halo_width(mp, cutoff, skin)
+    mesh = make_mesh(n_slabs)
+    cap, hs = 768, 640
+    aid = jnp.arange(n, dtype=jnp.int32)
+    dt_fs, funit = 2.0, 1e-3
+    chunk_steps, n_chunks = 6, 2
+
+    chunk_fn = make_halo_gnn_md(
+        mesh, mp, box, n_slabs, cutoff, skin, k, h0_row,
+        length_mean=2.0, length_std=0.8, masses_scalar=39.948,
+        temperature=100.0, dt_fs=dt_fs, friction_per_ps=0.0,
+        force_unit=funit, wide=True)
+    st, ovf = run_halo_gnn_md(
+        mesh, chunk_fn, pos, vel, box, n_slabs, cap, hs, halo,
+        n_chunks * chunk_steps, chunk_steps, jax.random.PRNGKey(21),
+        extras={"aid": aid})
+    assert not bool(ovf)
+
+    from gamd_tpu.core import units as U
+    dt = dt_fs * U.FS
+    h0 = jnp.broadcast_to(h0_row, (n, h0_row.shape[-1]))
+
+    def force(p):
+        pw = space.wrap(p, box)
+        idx, mask, _ = dense_neighbor_list(pw, box, cutoff, k)
+        return reference_forward(pw, idx, mask, h0, mp, box, None,
+                                 2.0, 0.8) * funit
+
+    @jax.jit
+    def run_ref(p, v):
+        f = force(p)
+        def step(carry, _):
+            p, v, f = carry
+            v = v + 0.5 * dt * f / 39.948
+            p2 = p + dt * v
+            f2 = force(p2)
+            v = v + 0.5 * dt * f2 / 39.948
+            return (p2, v, f2), None
+        (p, v, _), _ = jax.lax.scan(step, (p, v, f), None,
+                                    length=n_chunks * chunk_steps)
+        return p, v
+
+    p_ref, _ = run_ref(pos, vel)
+    p_ref = np.asarray(space.wrap(p_ref, box))
+
+    rows_aid = np.asarray(st.aux["aid"])
+    rows_val = np.asarray(st.valid)
+    p_rows = np.asarray(space.wrap(st.pos, box))
+    checked = 0
+    for r in range(rows_aid.shape[0]):
+        if not rows_val[r]:
+            continue
+        d = p_rows[r] - p_ref[rows_aid[r]]
+        d -= box * np.round(d / box)
+        np.testing.assert_allclose(d, 0.0, atol=5e-3)
+        checked += 1
+    assert checked == n
