@@ -118,6 +118,64 @@ def _slab_forward(mp, box, cutoff, nbr_capacity, length_mean, length_std,
     return jnp.where(valid_l[:, None], forces, 0.0), ovf
 
 
+def _wide_slab_forward_banded(mp, box, cutoff, nbr_capacity, length_mean,
+                              length_std, exchange, pos_l, valid_l, h0_own,
+                              aid_l, flip_dir, use_ln, mlp_act, rbf_gap,
+                              x_center, band, banded_tile, interpret):
+    """Wide-halo slab forward through the BANDED whole-model kernel
+    (ops.banded): env rows are unwrapped along x around the slab center,
+    x-sorted so each tile's neighbors form a tight index band, and the
+    full forward runs per slab with HBM->VMEM band DMAs instead of
+    O(E^2) one-hot or random row gathers. This composes the two TPU-first
+    scaling mechanisms: slab decomposition across chips x banded gathers
+    within a chip."""
+    from gamd_tpu.ops.banded import banded_forward
+
+    c = pos_l.shape[0]
+    env_pos, env_ok = exchange(pos_l, valid_l)
+    e_rows = env_pos.shape[0]
+    idx, mask, ovf = rect_neighbor_list(
+        env_pos, env_pos, env_ok, box, cutoff, nbr_capacity,
+        self_idx=jnp.arange(e_rows, dtype=jnp.int32))
+    mask = mask & env_ok[:, None]
+
+    # Unwrap x around the slab center so ghosts across the periodic seam
+    # sort adjacent to the boundary they touch (tight bands); invalid rows
+    # sort to the end.
+    dx = jnp.mod(env_pos[:, 0] - x_center + 0.5 * box, box) - 0.5 * box
+    perm = jnp.argsort(jnp.where(env_ok, dx, 1e9))
+    inv = jnp.argsort(perm)
+    pos_s = env_pos[perm]
+    idx_s = inv[idx[perm]]
+    mask_s = mask[perm]
+    h0_env, _ = exchange(h0_own, valid_l)
+    h0_s = h0_env[perm]
+    bond = None
+    if aid_l is not None:
+        aid_env, _ = exchange(aid_l, valid_l)
+        aid_s = aid_env[perm]
+        bond = water_bond_mask(aid_s[:, None], aid_s[idx_s])
+
+    f_s, ovf_band = banded_forward(
+        pos_s, idx_s, mask_s, h0_s, mp, box, cutoff, length_mean,
+        length_std, band, banded_tile, bond=bond, flip_dir=flip_dir,
+        use_ln=use_ln, interpret=interpret)
+    forces = f_s[inv][:c]
+    return (jnp.where(valid_l[:, None], forces, 0.0),
+            ovf | ovf_band)
+
+
+def wide_band_default(env_rows: int, cutoff: float, slab_w: float,
+                      halo_width: float, tile_n: int = 64) -> int:
+    """Band height for the banded wide-halo path: the neighbor arc of a
+    tile spans ~2*cutoff of the env's x-extent (slab + both halos), with
+    30% density margin; 128-aligned, capped at the env row count."""
+    frac = min(2.0 * cutoff / (slab_w + 2.0 * halo_width), 1.0)
+    band = -(-max(int(env_rows * frac * 1.3) + tile_n + 16, 256) // 128) \
+        * 128
+    return min(band, -(-env_rows // 16) * 16)
+
+
 def _wide_slab_forward(mp, box, cutoff, nbr_capacity, length_mean,
                        length_std, exchange, pos_l, valid_l, h0_own, aid_l,
                        flip_dir, use_ln, conv_act, mlp_act, rbf_gap):
@@ -170,13 +228,22 @@ def make_wide_halo_gnn_force(mesh: Mesh, mp: MegaParams, box: float,
                              length_std, flip_dir=False, use_ln=True,
                              conv_act="silu", mlp_act="gelu", rbf_gap=0.025,
                              axis: str = "dp", use_bond: bool = False,
-                             per_atom_h0: bool = False):
+                             per_atom_h0: bool = False,
+                             banded: bool = False, band: int = None,
+                             banded_tile: int = 64,
+                             interpret: bool = False):
     """Wide-halo variant of make_halo_gnn_force: sort the state with
     halo_width = n_layers * cutoff + skin (wide_halo_width helper), then
     each force call does ONE strip exchange and computes the whole model
     locally — see _wide_slab_forward for the latency/compute trade.
     Requires slab width >= the wide halo, i.e. large boxes (the scaling
-    regime this path exists for)."""
+    regime this path exists for).
+
+    banded=True routes the local forward through the banded gather kernel
+    (ops.banded; bond via aid when use_bond): slab decomposition across
+    chips x banded HBM->VMEM gathers within each chip. band defaults to
+    wide_band_default; interpret runs the kernel in interpret mode (CPU
+    tests)."""
     assert mesh.shape[axis] == n_slabs
     n_layers = mp.w_src.shape[0]
     halo_width = n_layers * cutoff + skin
@@ -195,10 +262,23 @@ def make_wide_halo_gnn_force(mesh: Mesh, mp: MegaParams, box: float,
         else:
             h0_own = jnp.broadcast_to(h0_row, (pos_l.shape[0], d))
         aid_l = extra[i] if use_bond else None
-        forces, ovf = _wide_slab_forward(
-            mp, box, cutoff, nbr_capacity, length_mean, length_std,
-            exchange, pos_l, valid_l, h0_own, aid_l, flip_dir, use_ln,
-            conv_act, mlp_act, rbf_gap)
+        if banded:
+            c = pos_l.shape[0]
+            e_rows = c + 2 * lidx.shape[0]
+            b = band or wide_band_default(e_rows, cutoff, slab_w,
+                                          halo_width, banded_tile)
+            me = jax.lax.axis_index(axis)
+            x_center = (me.astype(jnp.float32) + 0.5) * slab_w
+            forces, ovf = _wide_slab_forward_banded(
+                mp, box, cutoff, nbr_capacity, length_mean, length_std,
+                exchange, pos_l, valid_l, h0_own, aid_l, flip_dir,
+                use_ln, mlp_act, rbf_gap, x_center, b, banded_tile,
+                interpret)
+        else:
+            forces, ovf = _wide_slab_forward(
+                mp, box, cutoff, nbr_capacity, length_mean, length_std,
+                exchange, pos_l, valid_l, h0_own, aid_l, flip_dir, use_ln,
+                conv_act, mlp_act, rbf_gap)
         ovf_all = jax.lax.psum(ovf.astype(jnp.int32), axis) > 0
         return forces, ovf_all
 
@@ -210,7 +290,8 @@ def make_wide_halo_gnn_force(mesh: Mesh, mp: MegaParams, box: float,
     def force_fn(state: SlabState):
         mapped = shard_map(
             local_force, mesh=mesh, in_specs=in_specs,
-            out_specs=(spec3, P()))
+            out_specs=(spec3, P()),
+            check_vma=False)  # pallas_call per shard on the banded path
         extra = ()
         if per_atom_h0:
             extra += (state.aux["h0"],)

@@ -411,3 +411,50 @@ def test_wide_halo_gnn_md_trajectory_parity():
         np.testing.assert_allclose(d, 0.0, atol=5e-3)
         checked += 1
     assert checked == n
+
+
+def test_wide_halo_banded_forces_match_single_device():
+    """banded=True wide-halo: slab decomposition x banded in-slab gathers
+    (interpret-mode kernel on CPU) must still match the single-device
+    forward per atom."""
+    from gamd_tpu.parallel.halo_gnn import (make_wide_halo_gnn_force,
+                                            wide_halo_width)
+
+    n, box, n_slabs = 2000, 48.0, 4
+    cutoff, skin, k = 2.8, 0.2, 16
+    rng = np.random.RandomState(17)
+    pos = jnp.asarray(rng.uniform(0, box, (n, 3)).astype(np.float32))
+    cfg, mp, h0_row = _model()
+    halo = wide_halo_width(mp, cutoff, skin)
+    mesh = make_mesh(n_slabs)
+    cap, hs = 768, 640
+    aid = jnp.arange(n, dtype=jnp.int32)
+    st = sort_into_slabs(pos, jnp.zeros_like(pos), box, n_slabs, cap,
+                         halo, hs, jax.random.PRNGKey(0),
+                         extras={"aid": aid})
+    assert not bool(st.overflow)
+
+    force_fn = make_wide_halo_gnn_force(
+        mesh, mp, box, n_slabs, cutoff, skin, k, h0_row,
+        length_mean=2.0, length_std=0.8, banded=True, interpret=True)
+    f_slab, ovf = force_fn(st)
+    assert not bool(ovf)
+
+    posw = space.wrap(pos, box)
+    idx, mask, _ = dense_neighbor_list(posw, box, cutoff, k)
+    h0 = jnp.broadcast_to(h0_row, (n, h0_row.shape[-1]))
+    f_ref = np.asarray(reference_forward(posw, idx, mask, h0, mp, box,
+                                         None, 2.0, 0.8))
+
+    rows_aid = np.asarray(st.aux["aid"])
+    rows_val = np.asarray(st.valid)
+    f_rows = np.asarray(f_slab)[rows_val]
+    f_want = f_ref[rows_aid[rows_val]]
+    assert f_rows.shape[0] == n
+    # bf16 hi/lo edge stream in the banded kernel: same global accuracy
+    # budget as tests/test_banded.py (0.6% relative MAE, cosine).
+    rel_mae = np.abs(f_rows - f_want).mean() / np.abs(f_want).mean()
+    cos = (f_rows * f_want).sum() / (np.linalg.norm(f_rows)
+                                     * np.linalg.norm(f_want))
+    assert rel_mae < 6e-3, rel_mae
+    assert cos > 0.99995, cos
