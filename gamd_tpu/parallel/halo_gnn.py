@@ -377,7 +377,9 @@ def make_halo_gnn_md(mesh: Mesh, mp: MegaParams, box: float, n_slabs: int,
                      use_bond: bool = False, per_atom_h0: bool = False,
                      per_atom_mass: bool = False, flip_dir=False,
                      conv_act="silu", mlp_act="gelu", rbf_gap=0.025,
-                     wide: bool = False):
+                     wide: bool = False, banded: bool = False,
+                     band: int = None, banded_tile: int = 64,
+                     interpret: bool = False):
     """chunk_fn(state, n_steps) for BAOAB GNN-MD over the mesh — the GNN
     analogue of halo.make_halo_lj_step (sort with halo.sort_into_slabs at
     halo_width = cutoff + skin, or wide_halo_width(...) when wide=True).
@@ -385,7 +387,10 @@ def make_halo_gnn_md(mesh: Mesh, mp: MegaParams, box: float, n_slabs: int,
     into mp via pack_params instead when possible). per_atom_mass reads
     state.aux["mass"] [P*C] (water O/H); masses_scalar is then unused.
     wide=True uses the one-exchange wide-halo forward (_wide_slab_forward)
-    — caller must sort with the wide halo width."""
+    — caller must sort with the wide halo width. banded=True (requires
+    wide) runs it through the banded gather kernel (see
+    make_wide_halo_gnn_force)."""
+    assert not banded or wide, "banded requires wide=True"
     dt = dt_fs * units.FS
     gamma = friction_per_ps / units.PS
     a = float(np.exp(-gamma * dt))
@@ -414,15 +419,34 @@ def make_halo_gnn_md(mesh: Mesh, mp: MegaParams, box: float, n_slabs: int,
             m = masses_scalar
         sigma_v = jnp.sqrt(kbt / m)
 
-        fwd = _wide_slab_forward if wide else _slab_forward
+        if banded:
+            slab_w = box / n_slabs
+            n_layers = mp.w_src.shape[0]
+            halo_w = n_layers * cutoff + skin
+            e_rows = pos_l.shape[0] + 2 * lidx.shape[0]
+            bnd = band or wide_band_default(e_rows, cutoff, slab_w,
+                                            halo_w, banded_tile)
+            me2 = jax.lax.axis_index(axis)
+            x_center = (me2.astype(jnp.float32) + 0.5) * slab_w
 
-        def gnn_force(p):
-            posw = space.wrap(p, box)
-            f, _ = fwd(
-                mp, box, cutoff, nbr_capacity, length_mean, length_std,
-                exchange, posw, valid_l, h0_own, aid_l, flip_dir, use_ln,
-                conv_act, mlp_act, rbf_gap)
-            return f * force_unit
+            def gnn_force(p):
+                posw = space.wrap(p, box)
+                f, _ = _wide_slab_forward_banded(
+                    mp, box, cutoff, nbr_capacity, length_mean,
+                    length_std, exchange, posw, valid_l, h0_own, aid_l,
+                    flip_dir, use_ln, mlp_act, rbf_gap, x_center, bnd,
+                    banded_tile, interpret)
+                return f * force_unit
+        else:
+            fwd = _wide_slab_forward if wide else _slab_forward
+
+            def gnn_force(p):
+                posw = space.wrap(p, box)
+                f, _ = fwd(
+                    mp, box, cutoff, nbr_capacity, length_mean,
+                    length_std, exchange, posw, valid_l, h0_own, aid_l,
+                    flip_dir, use_ln, conv_act, mlp_act, rbf_gap)
+                return f * force_unit
 
         f = gnn_force(pos_l)
 
@@ -449,7 +473,8 @@ def make_halo_gnn_md(mesh: Mesh, mp: MegaParams, box: float, n_slabs: int,
         rng, k_noise = jax.random.split(state.rng)
         mapped = shard_map(
             partial(local_chunk, n_steps=n_steps), mesh=mesh,
-            in_specs=in_specs, out_specs=(spec3, spec3))
+            in_specs=in_specs, out_specs=(spec3, spec3),
+            check_vma=False)  # pallas_call per shard on the banded path
         extra = ()
         if per_atom_h0:
             extra += (state.aux["h0"],)

@@ -458,3 +458,28 @@ def test_wide_halo_banded_forces_match_single_device():
                                      * np.linalg.norm(f_want))
     assert rel_mae < 6e-3, rel_mae
     assert cos > 0.99995, cos
+
+
+def test_wide_halo_banded_md_chunk_runs():
+    """wide=True banded=True distributed MD chunk advances finitely with
+    every atom accounted for (interpret-mode kernel on CPU)."""
+    from gamd_tpu.parallel.halo_gnn import (make_halo_gnn_md,
+                                            wide_halo_width)
+
+    n, box, n_slabs = 2000, 48.0, 4
+    cutoff, skin, k = 2.8, 0.2, 16
+    rng = np.random.RandomState(23)
+    pos = jnp.asarray(rng.uniform(0, box, (n, 3)).astype(np.float32))
+    cfg, mp, h0_row = _model()
+    halo = wide_halo_width(mp, cutoff, skin)
+    mesh = make_mesh(n_slabs)
+    st = sort_into_slabs(pos, jnp.zeros((n, 3)), box, n_slabs, 768,
+                         halo, 640, jax.random.PRNGKey(1))
+    chunk_fn = make_halo_gnn_md(
+        mesh, mp, box, n_slabs, cutoff, skin, k, h0_row,
+        length_mean=2.0, length_std=0.8, masses_scalar=39.948,
+        temperature=100.0, dt_fs=2.0, friction_per_ps=25.0,
+        force_unit=1e-3, wide=True, banded=True, interpret=True)
+    out = chunk_fn(st, 3)
+    assert bool(jnp.isfinite(out.pos[out.valid]).all())
+    assert int(out.valid.sum()) == n
