@@ -3,9 +3,23 @@ halo exchange of node features (spatial stretch, rung 3 of SURVEY §2.3).
 
 parallel/halo.py scales CLASSICAL pair forces by exchanging boundary-strip
 positions. The GNN force model needs more: a 4-layer message-passing network
-has a receptive field of 4 x cutoff, so matching single-device forces with a
-one-shot position halo would need a 4x-wide halo and 4x redundant compute.
-Instead this module uses the standard distributed-GNN structure:
+has a receptive field of 4 x cutoff. This module implements BOTH standard
+distributed-GNN layouts and lets the caller pick by regime:
+
+  * LAYER-WISE (make_halo_gnn_force / default MD): narrow halo
+    (cutoff + skin), fresh boundary features ppermuted after every conv
+    layer — minimal redundant compute, 1 + n_layers exchanges per force
+    evaluation. Right when slabs are narrow (small boxes).
+  * WIDE-HALO (make_wide_halo_gnn_force / wide=True MD): halo =
+    n_layers * cutoff + skin, ONE position exchange, whole forward local
+    (ghost embeddings near the outer edge go progressively stale but stay
+    out of owned rows) — redundant conv compute on the ghost strips,
+    a single latency hop per force evaluation. Right when slabs are wide
+    (large N per chip, ICI-latency-bound), and the layout the banded
+    gather kernel composes with (banded=True: slab decomposition across
+    chips x HBM->VMEM band gathers within each chip).
+
+The layer-wise structure:
 
   * positions: ONE strip exchange per force evaluation (halo width =
     cutoff + skin) builds each slab's environment; a rectangular padded
