@@ -68,3 +68,68 @@ def rdf_l2(g1, g2):
     g1 = np.asarray(g1)
     g2 = np.asarray(g2)
     return float(np.sqrt(np.mean((g1 - g2) ** 2)))
+
+
+def unwrap_trajectory(frames, box):
+    """Remove periodic wrapping from a sampled trajectory.
+
+    Valid when no atom moves more than box/2 between consecutive samples
+    (true for MD sampled every O(10-100) steps): each inter-frame
+    displacement is taken min-image and accumulated.
+
+    Args:
+        frames: [T, N, 3] WRAPPED positions.
+        box: cubic box edge.
+
+    Returns:
+        [T, N, 3] continuous (unwrapped) positions, frame 0 unchanged.
+    """
+    frames = jnp.asarray(frames)
+    steps = space.min_image(frames[1:] - frames[:-1], box)
+    return jnp.concatenate(
+        [frames[:1], frames[:1] + jnp.cumsum(steps, axis=0)])
+
+
+def mean_squared_displacement(frames, box, dt_ps, species=None):
+    """MSD(t) over a sampled trajectory (time-origin averaged).
+
+    The deployment-quality metric the RDF cannot see: a GNN force field
+    can hold the right structure while transporting wrongly. Classical
+    TIP3P's self-diffusion (~5-6e-9 m^2/s) is the oracle for GNN water
+    rollouts, as RDF's classical oracle is for structure.
+
+    Args:
+        frames: [T, N, 3] wrapped positions (angstrom), uniform sampling.
+        box: cubic box edge.
+        dt_ps: time between samples (ps).
+        species: optional [N] bool mask (e.g. oxygens only).
+
+    Returns:
+        (t_ps [T-1], msd [T-1] in A^2) numpy arrays; msd[k-1] is the
+        average over all origins of |r(t0 + k dt) - r(t0)|^2.
+    """
+    u = np.asarray(unwrap_trajectory(frames, box))
+    if species is not None:
+        u = u[:, np.asarray(species)]
+    n_t = u.shape[0]
+    lags = np.arange(1, n_t)
+    msd = np.empty(n_t - 1)
+    for k in lags:                       # numpy: one pass per lag
+        d = u[k:] - u[:n_t - k]
+        msd[k - 1] = (d * d).sum(-1).mean()
+    return lags * dt_ps, msd
+
+
+def diffusion_coefficient(t_ps, msd_a2, fit_lo_frac=0.1, fit_hi_frac=0.5):
+    """Self-diffusion D from the linear MSD regime: MSD = 6 D t.
+
+    Fits the [fit_lo_frac, fit_hi_frac] window of the lag range (skips the
+    ballistic/cage short-time part; lags past ~half the trajectory average
+    over too few time origins to be reliable).
+
+    Returns D in m^2/s (inputs: ps, A^2).
+    """
+    n = len(t_ps)
+    lo, hi = int(n * fit_lo_frac), max(int(n * fit_hi_frac), int(n * fit_lo_frac) + 2)
+    slope = np.polyfit(t_ps[lo:hi], msd_a2[lo:hi], 1)[0]   # A^2 / ps
+    return slope / 6.0 * 1e-20 / 1e-12

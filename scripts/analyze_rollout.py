@@ -189,6 +189,22 @@ def main():
                 res_cl.thermo.temperature)[args.steps // 2:].mean()),
         }
 
+    # Transport: self-diffusion from the MSD linear regime. RDF alone can
+    # look right while the force field transports wrongly; the classical
+    # rollout under the identical protocol is the oracle.
+    from gamd_tpu.physics.rdf import (diffusion_coefficient,
+                                      mean_squared_displacement)
+    dt_sample_ps = md.rebuild_every * md.dt_fs * 1e-3
+    if frames.shape[0] >= 20:
+        t_ps, msd = mean_squared_displacement(
+            frames, system.box, dt_sample_ps, species=species)
+        extra["diffusion_m2_s"] = diffusion_coefficient(t_ps, msd)
+        if args.classical_baseline and frames_cl.shape[0] >= 20:
+            t_cl, msd_cl = mean_squared_displacement(
+                frames_cl, system.box, dt_sample_ps, species=species)
+            extra["classical_diffusion_m2_s"] = diffusion_coefficient(
+                t_cl, msd_cl)
+
     temps = np.asarray(result.thermo.temperature)
     report = {
         **extra,
