@@ -267,7 +267,7 @@ def band_layout(idx, mask, n, band, tile_n):
 def banded_forward(pos_s, idx_s, mask, h0_s, mp: MegaParams, box, cutoff,
                    length_mean, length_std, band, tile_n=64, bond=None,
                    rbf_gap=0.025, flip_dir=False, use_ln=True,
-                   interpret=False):
+                   mlp_act="gelu", interpret=False):
     """Full GAMD forward in the SORTED frame with banded gathers.
 
     pos_s/idx_s/h0_s are in x-sorted order (idx_s references sorted rows).
@@ -285,7 +285,7 @@ def banded_forward(pos_s, idx_s, mask, h0_s, mp: MegaParams, box, cutoff,
     if cutoff is not None:
         mask = mask & (dist * dist < cutoff * cutoff)
     std = (dist - length_mean) / length_std
-    e = encode_edges(mp, unit, std, bond, rbf_gap=rbf_gap)
+    e = encode_edges(mp, unit, std, bond, mlp_act, rbf_gap=rbf_gap)
 
     idx_loc, lo, overflow = band_layout(idx_s, mask, n, band, tile_n)
 
@@ -306,13 +306,13 @@ def banded_forward(pos_s, idx_s, mask, h0_s, mp: MegaParams, box, cutoff,
             + agg @ mp.w_pe[layer] + mp.b_pe[layer, 0]
         h = h + _silu(pre) @ mp.w_p[layer] + mp.b_p[layer, 0]
 
-    return decode_nodes(mp, h), overflow
+    return decode_nodes(mp, h, mlp_act), overflow
 
 
 def make_banded_force_fn(mp: MegaParams, box, cutoff, n_atoms, h0,
                          length_mean, length_std, band=None, tile_n=64,
                          use_bond=False, flip_dir=False, use_ln=True,
-                         force_unit=1.0, interpret=False):
+                         mlp_act="gelu", force_unit=1.0, interpret=False):
     """(pos, idx, mask) -> (forces, overflow) for the Simulation driver at
     large N: per-call x-sort, neighbor-id remap into the sorted frame,
     banded gathers, unsort.
@@ -347,7 +347,7 @@ def make_banded_force_fn(mp: MegaParams, box, cutoff, n_atoms, h0,
         f_s, ovf = banded_forward(
             pos_s, idx_s, mask_s, h0_s, mp, box, cutoff, length_mean,
             length_std, band, tile_n, bond=bond, flip_dir=flip_dir,
-            use_ln=use_ln, interpret=interpret)
+            use_ln=use_ln, mlp_act=mlp_act, interpret=interpret)
         return f_s[inv] * force_unit, ovf
 
     fn.banded_band = band

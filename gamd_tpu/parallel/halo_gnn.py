@@ -133,8 +133,8 @@ def _slab_forward(mp, box, cutoff, nbr_capacity, length_mean, length_std,
 
 
 def _wide_slab_forward_banded(mp, box, cutoff, nbr_capacity, length_mean,
-                              length_std, exchange, pos_l, valid_l, h0_own,
-                              aid_l, flip_dir, use_ln, mlp_act, rbf_gap,
+                              length_std, exchange, pos_l, valid_l, h0_env,
+                              aid_env, flip_dir, use_ln, mlp_act, rbf_gap,
                               x_center, band, banded_tile, interpret):
     """Wide-halo slab forward through the BANDED whole-model kernel
     (ops.banded): env rows are unwrapped along x around the slab center,
@@ -142,7 +142,11 @@ def _wide_slab_forward_banded(mp, box, cutoff, nbr_capacity, length_mean,
     full forward runs per slab with HBM->VMEM band DMAs instead of
     O(E^2) one-hot or random row gathers. This composes the two TPU-first
     scaling mechanisms: slab decomposition across chips x banded gathers
-    within a chip."""
+    within a chip.
+
+    h0_env/aid_env are PRE-EXCHANGED env rows ([E, D] / [E] or None) —
+    they are chunk-invariant, so MD callers hoist their exchange out of
+    the step loop (only positions ride a ppermute per evaluation)."""
     from gamd_tpu.ops.banded import banded_forward
 
     c = pos_l.shape[0]
@@ -162,18 +166,17 @@ def _wide_slab_forward_banded(mp, box, cutoff, nbr_capacity, length_mean,
     pos_s = env_pos[perm]
     idx_s = inv[idx[perm]]
     mask_s = mask[perm]
-    h0_env, _ = exchange(h0_own, valid_l)
     h0_s = h0_env[perm]
     bond = None
-    if aid_l is not None:
-        aid_env, _ = exchange(aid_l, valid_l)
+    if aid_env is not None:
         aid_s = aid_env[perm]
         bond = water_bond_mask(aid_s[:, None], aid_s[idx_s])
 
     f_s, ovf_band = banded_forward(
         pos_s, idx_s, mask_s, h0_s, mp, box, cutoff, length_mean,
-        length_std, band, banded_tile, bond=bond, flip_dir=flip_dir,
-        use_ln=use_ln, interpret=interpret)
+        length_std, band, banded_tile, bond=bond, rbf_gap=rbf_gap,
+        flip_dir=flip_dir, use_ln=use_ln, mlp_act=mlp_act,
+        interpret=interpret)
     forces = f_s[inv][:c]
     return (jnp.where(valid_l[:, None], forces, 0.0),
             ovf | ovf_band)
@@ -191,8 +194,9 @@ def wide_band_default(env_rows: int, cutoff: float, slab_w: float,
 
 
 def _wide_slab_forward(mp, box, cutoff, nbr_capacity, length_mean,
-                       length_std, exchange, pos_l, valid_l, h0_own, aid_l,
-                       flip_dir, use_ln, conv_act, mlp_act, rbf_gap):
+                       length_std, exchange, pos_l, valid_l, h0_env,
+                       aid_env, flip_dir, use_ln, conv_act, mlp_act,
+                       rbf_gap):
     """Wide-halo slab forward: ONE position exchange, whole forward local.
 
     The exchange strips must cover n_layers * cutoff (caller-asserted), so
@@ -205,6 +209,8 @@ def _wide_slab_forward(mp, box, cutoff, nbr_capacity, length_mean,
     per force evaluation instead of 1 + n_layers. The trade is redundant
     conv compute on the two ghost strips — the right side of the
     compute-vs-ICI-latency trade when slabs are wide (large N per chip).
+    h0_env/aid_env are PRE-EXCHANGED env rows (chunk-invariant — MD
+    callers hoist their exchange out of the step loop).
     """
     n_layers = mp.w_src.shape[0]
     c = pos_l.shape[0]
@@ -223,12 +229,11 @@ def _wide_slab_forward(mp, box, cutoff, nbr_capacity, length_mean,
         unit = -unit
     std = (dist - length_mean) / length_std
     bond = None
-    if aid_l is not None:
-        aid_env, _ = exchange(aid_l, valid_l)
+    if aid_env is not None:
         bond = water_bond_mask(aid_env[:, None], aid_env[idx])
     e = encode_edges(mp, unit, std, bond, mlp_act, rbf_gap)
 
-    h_env, _ = exchange(h0_own, valid_l)
+    h_env = h0_env
     for layer in range(n_layers):
         hn = node_norm(mp, layer, h_env, use_ln)
         h_env = conv_apply(mp, layer, h_env, hn, hn, e, idx, mask, conv_act)
@@ -266,6 +271,12 @@ def make_wide_halo_gnn_force(mesh: Mesh, mp: MegaParams, box: float,
         f"wide halo needs slab width {slab_w:.2f} >= n_layers*cutoff+skin "
         f"= {halo_width:.2f}; use make_halo_gnn_force (layer-wise) for "
         f"small boxes")
+    # 2-slab meshes deliver both strips to the SAME peer: any atom within
+    # halo of both boundaries would appear twice in its env (duplicate
+    # edges, double-counted messages).
+    assert n_slabs >= 3 or slab_w >= 2 * halo_width
+    assert not banded or conv_act == "silu", \
+        "the banded kernel hard-codes the silu conv activation"
     d = mp.w_src.shape[-2]
 
     def local_force(pos_l, valid_l, lidx, ridx, lval, rval, *extra):
@@ -276,6 +287,8 @@ def make_wide_halo_gnn_force(mesh: Mesh, mp: MegaParams, box: float,
         else:
             h0_own = jnp.broadcast_to(h0_row, (pos_l.shape[0], d))
         aid_l = extra[i] if use_bond else None
+        h0_env, _ = exchange(h0_own, valid_l)
+        aid_env = exchange(aid_l, valid_l)[0] if use_bond else None
         if banded:
             c = pos_l.shape[0]
             e_rows = c + 2 * lidx.shape[0]
@@ -285,14 +298,14 @@ def make_wide_halo_gnn_force(mesh: Mesh, mp: MegaParams, box: float,
             x_center = (me.astype(jnp.float32) + 0.5) * slab_w
             forces, ovf = _wide_slab_forward_banded(
                 mp, box, cutoff, nbr_capacity, length_mean, length_std,
-                exchange, pos_l, valid_l, h0_own, aid_l, flip_dir,
+                exchange, pos_l, valid_l, h0_env, aid_env, flip_dir,
                 use_ln, mlp_act, rbf_gap, x_center, b, banded_tile,
                 interpret)
         else:
             forces, ovf = _wide_slab_forward(
                 mp, box, cutoff, nbr_capacity, length_mean, length_std,
-                exchange, pos_l, valid_l, h0_own, aid_l, flip_dir, use_ln,
-                conv_act, mlp_act, rbf_gap)
+                exchange, pos_l, valid_l, h0_env, aid_env, flip_dir,
+                use_ln, conv_act, mlp_act, rbf_gap)
         ovf_all = jax.lax.psum(ovf.astype(jnp.int32), axis) > 0
         return forces, ovf_all
 
@@ -305,7 +318,9 @@ def make_wide_halo_gnn_force(mesh: Mesh, mp: MegaParams, box: float,
         mapped = shard_map(
             local_force, mesh=mesh, in_specs=in_specs,
             out_specs=(spec3, P()),
-            check_vma=False)  # pallas_call per shard on the banded path
+            # VMA checking stays on except where a per-shard pallas_call
+            # (no vma annotation on its out_shape) forces it off.
+            check_vma=not banded)
         extra = ()
         if per_atom_h0:
             extra += (state.aux["h0"],)
@@ -403,8 +418,21 @@ def make_halo_gnn_md(mesh: Mesh, mp: MegaParams, box: float, n_slabs: int,
     wide=True uses the one-exchange wide-halo forward (_wide_slab_forward)
     — caller must sort with the wide halo width. banded=True (requires
     wide) runs it through the banded gather kernel (see
-    make_wide_halo_gnn_force)."""
+    make_wide_halo_gnn_force). Force-path overflow (rect-list or band)
+    NaN-poisons the forces — the Simulation-level convention; drivers and
+    tests assert finiteness and fail loudly instead of continuing with
+    silently dropped/mis-gathered edges."""
     assert not banded or wide, "banded requires wide=True"
+    assert not banded or conv_act == "silu", \
+        "the banded kernel hard-codes the silu conv activation"
+    if wide:
+        n_layers_w = mp.w_src.shape[0]
+        halo_w = n_layers_w * cutoff + skin
+        slab_w = box / n_slabs
+        assert slab_w >= halo_w, (
+            f"wide halo needs slab width {slab_w:.2f} >= "
+            f"n_layers*cutoff+skin = {halo_w:.2f}")
+        assert n_slabs >= 3 or slab_w >= 2 * halo_w
     dt = dt_fs * units.FS
     gamma = friction_per_ps / units.PS
     a = float(np.exp(-gamma * dt))
@@ -433,34 +461,46 @@ def make_halo_gnn_md(mesh: Mesh, mp: MegaParams, box: float, n_slabs: int,
             m = masses_scalar
         sigma_v = jnp.sqrt(kbt / m)
 
+        def poison(f, ovf):
+            # Overflow -> NaN forces (see factory docstring).
+            return jnp.where(ovf, jnp.nan, 1.0) * f * force_unit
+
+        if wide:
+            # h0/aid env rows are chunk-invariant: exchange ONCE here so
+            # only positions ride a ppermute inside the step loop.
+            h0_env, _ = exchange(h0_own, valid_l)
+            aid_env = exchange(aid_l, valid_l)[0] if use_bond else None
+
         if banded:
-            slab_w = box / n_slabs
-            n_layers = mp.w_src.shape[0]
-            halo_w = n_layers * cutoff + skin
             e_rows = pos_l.shape[0] + 2 * lidx.shape[0]
             bnd = band or wide_band_default(e_rows, cutoff, slab_w,
                                             halo_w, banded_tile)
-            me2 = jax.lax.axis_index(axis)
-            x_center = (me2.astype(jnp.float32) + 0.5) * slab_w
+            x_center = (me.astype(jnp.float32) + 0.5) * slab_w
 
             def gnn_force(p):
                 posw = space.wrap(p, box)
-                f, _ = _wide_slab_forward_banded(
+                f, ovf = _wide_slab_forward_banded(
                     mp, box, cutoff, nbr_capacity, length_mean,
-                    length_std, exchange, posw, valid_l, h0_own, aid_l,
+                    length_std, exchange, posw, valid_l, h0_env, aid_env,
                     flip_dir, use_ln, mlp_act, rbf_gap, x_center, bnd,
                     banded_tile, interpret)
-                return f * force_unit
-        else:
-            fwd = _wide_slab_forward if wide else _slab_forward
-
+                return poison(f, ovf)
+        elif wide:
             def gnn_force(p):
                 posw = space.wrap(p, box)
-                f, _ = fwd(
+                f, ovf = _wide_slab_forward(
+                    mp, box, cutoff, nbr_capacity, length_mean,
+                    length_std, exchange, posw, valid_l, h0_env, aid_env,
+                    flip_dir, use_ln, conv_act, mlp_act, rbf_gap)
+                return poison(f, ovf)
+        else:
+            def gnn_force(p):
+                posw = space.wrap(p, box)
+                f, ovf = _slab_forward(
                     mp, box, cutoff, nbr_capacity, length_mean,
                     length_std, exchange, posw, valid_l, h0_own, aid_l,
                     flip_dir, use_ln, conv_act, mlp_act, rbf_gap)
-                return f * force_unit
+                return poison(f, ovf)
 
         f = gnn_force(pos_l)
 
@@ -488,7 +528,9 @@ def make_halo_gnn_md(mesh: Mesh, mp: MegaParams, box: float, n_slabs: int,
         mapped = shard_map(
             partial(local_chunk, n_steps=n_steps), mesh=mesh,
             in_specs=in_specs, out_specs=(spec3, spec3),
-            check_vma=False)  # pallas_call per shard on the banded path
+            # VMA checking stays on except where a per-shard pallas_call
+            # (no vma annotation on its out_shape) forces it off.
+            check_vma=not banded)
         extra = ()
         if per_atom_h0:
             extra += (state.aux["h0"],)

@@ -145,7 +145,7 @@ class GNNForceField:
             jnp.maximum(self.length_stat.std, 1e-12), band=band,
             tile_n=tile_n, use_bond=self.model.use_bond,
             flip_dir=cfg.flip_dir, use_ln=cfg.use_layer_norm,
-            interpret=interpret)
+            mlp_act=cfg.mlp_activation, interpret=interpret)
 
         def fn(pos, idx, mask):
             f, ovf = fn0(pos, idx, mask)
