@@ -483,3 +483,52 @@ def test_wide_halo_banded_md_chunk_runs():
     out = chunk_fn(st, 3)
     assert bool(jnp.isfinite(out.pos[out.valid]).all())
     assert int(out.valid.sum()) == n
+
+
+def test_wide_halo_water_bond_forces_match_single_device():
+    """Wide-halo with per-atom h0 + O-H bond channel (aid rows exchanged
+    once, bond evaluated in the slab frame) matches the single-device
+    forward — covers the water plumbing of both wide paths' shared
+    exchange hoisting."""
+    from gamd_tpu.neighbors.topology import neighbor_bond_channel
+    from gamd_tpu.parallel.halo_gnn import (make_wide_halo_gnn_force,
+                                            wide_halo_width)
+
+    n_mol, box, n_slabs = 1200, 48.0, 4
+    cutoff, skin, k = 2.5, 0.2, 24
+    pos, onehot, n = _water_system(n_mol=n_mol, box=box, seed=5)
+    cfg, mp, params = _water_model()
+    h0 = _water_h0(params, onehot)
+    halo = wide_halo_width(mp, cutoff, skin)
+    assert box / n_slabs >= halo
+    mesh = make_mesh(n_slabs)
+    cap, hs = 1536, 1280
+    aid = jnp.arange(n, dtype=jnp.int32)
+    st = sort_into_slabs(pos, jnp.zeros_like(pos), box, n_slabs, cap,
+                         halo, hs, jax.random.PRNGKey(0),
+                         extras={"h0": h0, "aid": aid})
+    assert not bool(st.overflow)
+
+    force_fn = make_wide_halo_gnn_force(
+        mesh, mp, box, n_slabs, cutoff, skin, k, None,
+        length_mean=1.5, length_std=0.7, use_bond=True, per_atom_h0=True)
+    f_slab, ovf = force_fn(st)
+    assert not bool(ovf)
+
+    posw = space.wrap(pos, box)
+    idx, mask, _ = dense_neighbor_list(posw, box, cutoff, k)
+    bond = neighbor_bond_channel(idx)
+    f_ref = np.asarray(reference_forward(posw, idx, mask, h0, mp, box,
+                                         None, 1.5, 0.7, bond=bond))
+
+    rows_aid = np.asarray(st.aux["aid"])
+    rows_val = np.asarray(st.valid)
+    f_rows = np.asarray(f_slab)
+    checked = 0
+    for r in range(rows_aid.shape[0]):
+        if not rows_val[r]:
+            continue
+        np.testing.assert_allclose(f_rows[r], f_ref[rows_aid[r]],
+                                   atol=3e-4, rtol=1e-4)
+        checked += 1
+    assert checked == n
