@@ -182,7 +182,8 @@ _YS_WEIGHTS = {
 }
 
 
-def _nhc_propagate(vel, xi, vxi, g, masses, kt, ndf, q, dt, n_c, ys_weights):
+def _nhc_propagate(vel, xi, vxi, g, masses, kt, ndf, q, dt, n_c, ys_weights,
+                   ke2=None):
     """Half-step Nose-Hoover chain propagation (MTK, Yoshida-Suzuki + MTS).
 
     Direct functional transcription of the reference's DSL program
@@ -195,9 +196,15 @@ def _nhc_propagate(vel, xi, vxi, g, masses, kt, ndf, q, dt, n_c, ys_weights):
     independent thermostat chain, all vectorized through the same scan (no
     vmap lowering; this is what lets `Simulation.run_replicas` fuse NHC
     replicas into one program).
+
+    ke2 may be supplied externally (already [...] shaped 2*KE) — the
+    distributed driver psums the per-slab contributions so every shard
+    evolves the identical global chain (parallel/halo_gnn.py).
     """
     m_chain = xi.shape[-1]
-    ke2 = jnp.sum(masses[:, None] * vel * vel, axis=(-2, -1))   # [...] (2 KE)
+    if ke2 is None:
+        ke2 = jnp.sum(masses[:, None] * vel * vel,
+                      axis=(-2, -1))                    # [...] (2 KE)
     g = g.at[..., 0].set((ke2 - ndf * kt) / q[0])
 
     # One (n_c, ys) sub-step; scanned over the flattened schedule.

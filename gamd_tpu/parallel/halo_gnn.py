@@ -408,7 +408,10 @@ def make_halo_gnn_md(mesh: Mesh, mp: MegaParams, box: float, n_slabs: int,
                      conv_act="silu", mlp_act="gelu", rbf_gap=0.025,
                      wide: bool = False, banded: bool = False,
                      band: int = None, banded_tile: int = 64,
-                     interpret: bool = False):
+                     interpret: bool = False,
+                     integrator: str = "langevin", ndf: int = None,
+                     chain_length: int = 10, chain_mts: int = 5,
+                     chain_ys: int = 5):
     """chunk_fn(state, n_steps) for BAOAB GNN-MD over the mesh — the GNN
     analogue of halo.make_halo_lj_step (sort with halo.sort_into_slabs at
     halo_width = cutoff + skin, or wide_halo_width(...) when wide=True).
@@ -421,10 +424,23 @@ def make_halo_gnn_md(mesh: Mesh, mp: MegaParams, box: float, n_slabs: int,
     make_wide_halo_gnn_force). Force-path overflow (rect-list or band)
     NaN-poisons the forces — the Simulation-level convention; drivers and
     tests assert finiteness and fail loudly instead of continuing with
-    silently dropped/mis-gathered edges."""
+    silently dropped/mis-gathered edges.
+
+    integrator="nose_hoover": ONE GLOBAL chain thermostats the whole
+    system — per-slab kinetic energies are psum'd so every shard evolves
+    the identical [M] chain redundantly (cheap scalar math, zero extra
+    comm beyond the one psum/step). Deterministic, so distributed
+    trajectories are directly comparable to single-device NHC. The chain
+    state rides the chunk boundary: chunk_fn(state, n_steps, chain) ->
+    (state, chain); chunk_fn.init_chain() builds the t=0 chain and
+    chunk_fn.needs_chain = True tells run_halo_gnn_md to thread it.
+    ndf (global degrees of freedom, typically 3*N) is required."""
     assert not banded or wide, "banded requires wide=True"
     assert not banded or conv_act == "silu", \
         "the banded kernel hard-codes the silu conv activation"
+    assert integrator in ("langevin", "nose_hoover")
+    if integrator == "nose_hoover":
+        assert ndf is not None, "distributed NHC needs global ndf (3*N)"
     if wide:
         n_layers_w = mp.w_src.shape[0]
         halo_w = n_layers_w * cutoff + skin
@@ -439,13 +455,22 @@ def make_halo_gnn_md(mesh: Mesh, mp: MegaParams, box: float, n_slabs: int,
     b = float(np.sqrt(1.0 - np.exp(-2.0 * gamma * dt)))
     kbt = units.KB * temperature
     d = mp.w_src.shape[-2]
+    if integrator == "nose_hoover":
+        from gamd_tpu.md.integrators import _YS_WEIGHTS, _nhc_propagate
+        freq = friction_per_ps / units.PS          # collision frequency
+        q_single = kbt / freq**2
+        q_vec = jnp.concatenate([jnp.array([ndf * q_single]),
+                                 jnp.full((chain_length - 1,), q_single)])
+        ys_w = _YS_WEIGHTS[chain_ys]
 
     def local_chunk(pos_l, vel_l, valid_l, lidx, ridx, lval, rval, rng,
-                    *extra, n_steps):
+                    *extra, n_steps, chain=None):
         me = jax.lax.axis_index(axis)
         exchange = _make_exchange(axis, n_slabs, lidx, ridx, lval, rval)
         rng_local = jax.random.fold_in(rng, me)
-        noise = jax.random.normal(rng_local, (n_steps,) + pos_l.shape)
+        noise = None
+        if integrator == "langevin":
+            noise = jax.random.normal(rng_local, (n_steps,) + pos_l.shape)
 
         i = 0
         if per_atom_h0:
@@ -504,6 +529,32 @@ def make_halo_gnn_md(mesh: Mesh, mp: MegaParams, box: float, n_slabs: int,
 
         f = gnn_force(pos_l)
 
+        if integrator == "nose_hoover":
+            def ke2_global(v):
+                # padding rows have v=0 and contribute nothing
+                return jax.lax.psum(jnp.sum(m * v * v), axis)
+
+            def nhc_half(v, ch):
+                xi_c, vxi_c, g_c = ch
+                v, xi_c, vxi_c, g_c = _nhc_propagate(
+                    v, xi_c, vxi_c, g_c, None, kbt, ndf, q_vec, dt,
+                    chain_mts, ys_w, ke2=ke2_global(v))
+                return v, (xi_c, vxi_c, g_c)
+
+            def one_step(carry, _):
+                p, v, f, ch = carry
+                v, ch = nhc_half(v, ch)
+                v = v + 0.5 * dt * f / m
+                p2 = p + dt * v
+                f2 = gnn_force(p2)
+                v = v + 0.5 * dt * f2 / m
+                v, ch = nhc_half(v, ch)
+                return (p2, v, f2, ch), None
+
+            (pos_l, vel_l, _, chain), _ = jax.lax.scan(
+                one_step, (pos_l, vel_l, f, chain), None, length=n_steps)
+            return pos_l, vel_l, chain
+
         def one_step(carry, xi):
             p, v, f = carry
             v = v + 0.5 * dt * f / m
@@ -521,6 +572,49 @@ def make_halo_gnn_md(mesh: Mesh, mp: MegaParams, box: float, n_slabs: int,
     spec3 = P(axis)
     n_extra = int(per_atom_h0) + int(use_bond) + int(per_atom_mass)
     in_specs = (spec3,) * 7 + (P(),) + (spec3,) * n_extra
+    nhc = integrator == "nose_hoover"
+    if nhc:
+        in_specs = in_specs + ((P(),) * 3)   # replicated chain
+
+    def _extras(state):
+        extra = ()
+        if per_atom_h0:
+            extra += (state.aux["h0"],)
+        if use_bond:
+            extra += (state.aux["aid"],)
+        if per_atom_mass:
+            extra += (state.aux["mass"],)
+        return extra
+
+    if nhc:
+        @partial(jax.jit, static_argnames=("n_steps",))
+        def chunk_fn(state: SlabState, n_steps: int, chain=None):
+            if chain is None:
+                chain = chunk_fn.init_chain()
+            rng, k_noise = jax.random.split(state.rng)
+
+            def lc(*args):
+                *head, xi_c, vxi_c, g_c = args
+                return local_chunk(*head, n_steps=n_steps,
+                                   chain=(xi_c, vxi_c, g_c))
+
+            mapped = shard_map(
+                lc, mesh=mesh, in_specs=in_specs,
+                out_specs=(spec3, spec3, (P(), P(), P())),
+                check_vma=not banded)
+            pos, vel, chain = mapped(
+                state.pos, state.vel, state.valid, state.left_idx,
+                state.right_idx, state.left_val, state.right_val,
+                k_noise, *_extras(state), *chain)
+            return state._replace(pos=pos, vel=vel, rng=rng), chain
+
+        def init_chain():
+            return (jnp.zeros(chain_length), jnp.zeros(chain_length),
+                    jnp.full((chain_length,), -freq**2))
+
+        chunk_fn.init_chain = init_chain
+        chunk_fn.needs_chain = True
+        return chunk_fn
 
     @partial(jax.jit, static_argnames=("n_steps",))
     def chunk_fn(state: SlabState, n_steps: int) -> SlabState:
@@ -531,18 +625,13 @@ def make_halo_gnn_md(mesh: Mesh, mp: MegaParams, box: float, n_slabs: int,
             # VMA checking stays on except where a per-shard pallas_call
             # (no vma annotation on its out_shape) forces it off.
             check_vma=not banded)
-        extra = ()
-        if per_atom_h0:
-            extra += (state.aux["h0"],)
-        if use_bond:
-            extra += (state.aux["aid"],)
-        if per_atom_mass:
-            extra += (state.aux["mass"],)
         pos, vel = mapped(state.pos, state.vel, state.valid,
                           state.left_idx, state.right_idx,
-                          state.left_val, state.right_val, k_noise, *extra)
+                          state.left_val, state.right_val, k_noise,
+                          *_extras(state))
         return state._replace(pos=pos, vel=vel, rng=rng)
 
+    chunk_fn.needs_chain = False
     return chunk_fn
 
 
@@ -582,11 +671,16 @@ def run_halo_gnn_md(mesh, chunk_fn, pos, vel, box, n_slabs, capacity,
     state = resort(jnp.asarray(pos, jnp.float32),
                    jnp.asarray(vel, jnp.float32), extras, rng)
     overflow = state.overflow
+    chain = (chunk_fn.init_chain()
+             if getattr(chunk_fn, "needs_chain", False) else None)
     done = 0
     while done < n_steps:
         state = shard(state)
         steps = min(chunk_steps, n_steps - done)
-        state = chunk_fn(state, steps)
+        if chain is not None:
+            state, chain = chunk_fn(state, steps, chain)
+        else:
+            state = chunk_fn(state, steps)
         done += steps
         if done < n_steps:
             # Compact valid rows to the front; with no overflow exactly

@@ -532,3 +532,71 @@ def test_wide_halo_water_bond_forces_match_single_device():
                                    atol=3e-4, rtol=1e-4)
         checked += 1
     assert checked == n
+
+
+def test_distributed_nose_hoover_matches_single_device():
+    """integrator='nose_hoover' distributed MD: one GLOBAL chain fed by
+    psum'd kinetic energy must track the single-device NHC trajectory
+    exactly (deterministic), including the chain state across a re-sort
+    boundary."""
+    from gamd_tpu.core import units as U
+    from gamd_tpu.md import integrators as integ
+    from gamd_tpu.parallel.halo_gnn import run_halo_gnn_md
+
+    box, pos = _system(512)
+    cfg, mp, h0_row = _model()
+    n, n_slabs = 512, 4
+    mesh = make_mesh(n_slabs)
+    cap, hs = 256, 160
+    aid = jnp.arange(n, dtype=jnp.int32)
+    rngv = np.random.RandomState(3)
+    vel = jnp.asarray(rngv.randn(n, 3).astype(np.float32) * 0.05)
+    dt_fs, funit, temp, fric = 2.0, 1e-3, 100.0, 25.0
+    chunk_steps, n_chunks = 6, 2
+
+    chunk_fn = make_halo_gnn_md(
+        mesh, mp, box, n_slabs, CUTOFF, SKIN, K, h0_row,
+        length_mean=3.0, length_std=1.0, masses_scalar=39.948,
+        temperature=temp, dt_fs=dt_fs, friction_per_ps=fric,
+        force_unit=funit, integrator="nose_hoover", ndf=3 * n)
+    st, ovf = run_halo_gnn_md(
+        mesh, chunk_fn, pos, vel, box, n_slabs, cap, hs, CUTOFF + SKIN,
+        n_chunks * chunk_steps, chunk_steps, jax.random.PRNGKey(4),
+        extras={"aid": aid})
+    assert not bool(ovf)
+
+    dt = dt_fs * U.FS
+    h0 = jnp.broadcast_to(h0_row, (n, h0_row.shape[-1]))
+    masses_vec = jnp.full((n,), 39.948)
+
+    def force(p):
+        pw = space.wrap(p, box)
+        idx, mask, _ = dense_neighbor_list(pw, box, CUTOFF, K)
+        return reference_forward(pw, idx, mask, h0, mp, box, None,
+                                 3.0, 1.0) * funit
+
+    init_fn, step_fn = integ.nose_hoover_chain(
+        force, dt, masses_vec, temp, frequency=fric / U.PS,
+        chain_length=10, n_c=5, n_ys=5, ndf=3 * n)
+
+    @jax.jit
+    def run_ref(p, v):
+        def step(s, _):
+            return step_fn(s), None
+        s, _ = jax.lax.scan(step, init_fn(p, v), None,
+                            length=n_chunks * chunk_steps)
+        return s.pos
+
+    p_ref = np.asarray(space.wrap(run_ref(pos, vel), box))
+    rows_aid = np.asarray(st.aux["aid"])
+    rows_val = np.asarray(st.valid)
+    p_rows = np.asarray(space.wrap(st.pos, box))
+    checked = 0
+    for r in range(rows_aid.shape[0]):
+        if not rows_val[r]:
+            continue
+        d = p_rows[r] - p_ref[rows_aid[r]]
+        d -= box * np.round(d / box)
+        np.testing.assert_allclose(d, 0.0, atol=5e-3)
+        checked += 1
+    assert checked == n
