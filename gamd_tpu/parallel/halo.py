@@ -58,7 +58,7 @@ class SlabState(NamedTuple):
 
 
 def sort_into_slabs(pos, vel, box, n_slabs, capacity, halo_width,
-                    strip_capacity, rng, extras=None):
+                    strip_capacity, rng, extras=None, group_size: int = 1):
     """Global re-sort (runs replicated; called once per chunk).
 
     Returns a SlabState with positions grouped by slab of x, padded to
@@ -66,13 +66,27 @@ def sort_into_slabs(pos, vel, box, n_slabs, capacity, halo_width,
     `extras` is an optional dict of per-atom arrays [N, ...] (species
     embeddings, global atom ids, masses, ...) scattered into the same
     slab-sorted [P*C, ...] layout (zero padding) and carried in `.aux`.
+
+    group_size > 1 (e.g. 3 for rigid water O,H,H triplets) assigns whole
+    consecutive groups to the slab of their FIRST atom's x, and the stable
+    sort keeps each group contiguous and in order inside its slab — the
+    layout per-slab holonomic constraints (SETTLE) require. Atoms of a
+    group may then sit up to a bond length outside their slab's nominal
+    x-range; size halo_width with that slack.
     """
     n = pos.shape[0]
     slab_w = box / n_slabs
     posw = space.wrap(pos, box)
-    sid = jnp.clip((posw[:, 0] / slab_w).astype(jnp.int32), 0, n_slabs - 1)
+    if group_size > 1:
+        assert n % group_size == 0
+        sid_g = jnp.clip((posw[::group_size, 0] / slab_w).astype(jnp.int32),
+                         0, n_slabs - 1)
+        sid = jnp.repeat(sid_g, group_size)
+    else:
+        sid = jnp.clip((posw[:, 0] / slab_w).astype(jnp.int32),
+                       0, n_slabs - 1)
 
-    order = jnp.argsort(sid)
+    order = jnp.argsort(sid, stable=True)   # groups stay contiguous
     sid_sorted = sid[order]
     first = jnp.searchsorted(sid_sorted, sid_sorted, side="left")
     rank = jnp.arange(n) - first

@@ -411,7 +411,7 @@ def make_halo_gnn_md(mesh: Mesh, mp: MegaParams, box: float, n_slabs: int,
                      interpret: bool = False,
                      integrator: str = "langevin", ndf: int = None,
                      chain_length: int = 10, chain_mts: int = 5,
-                     chain_ys: int = 5):
+                     chain_ys: int = 5, constraint=None):
     """chunk_fn(state, n_steps) for BAOAB GNN-MD over the mesh — the GNN
     analogue of halo.make_halo_lj_step (sort with halo.sort_into_slabs at
     halo_width = cutoff + skin, or wide_halo_width(...) when wide=True).
@@ -434,13 +434,23 @@ def make_halo_gnn_md(mesh: Mesh, mp: MegaParams, box: float, n_slabs: int,
     state rides the chunk boundary: chunk_fn(state, n_steps, chain) ->
     (state, chain); chunk_fn.init_chain() builds the t=0 chain and
     chunk_fn.needs_chain = True tells run_halo_gnn_md to thread it.
-    ndf (global degrees of freedom, typically 3*N) is required."""
+    ndf (global degrees of freedom, typically 3*N) is required.
+
+    constraint (langevin only): a per-slab md.constraints.RigidWater built
+    for capacity//3 molecules — REQUIRES the state to have been sorted
+    with sort_into_slabs(group_size=3) so every slab owns whole O,H,H
+    triplets in order, and halo_width sized with ~1 A of bond slack.
+    Projections follow the single-device g-BAOAB splitting exactly
+    (integrators.baoab_langevin); padding "molecules" (degenerate
+    sentinel geometry) are masked back to their unconstrained values."""
     assert not banded or wide, "banded requires wide=True"
     assert not banded or conv_act == "silu", \
         "the banded kernel hard-codes the silu conv activation"
     assert integrator in ("langevin", "nose_hoover")
     if integrator == "nose_hoover":
         assert ndf is not None, "distributed NHC needs global ndf (3*N)"
+        assert constraint is None, \
+            "constrained distributed MD is langevin-only"
     if wide:
         n_layers_w = mp.w_src.shape[0]
         halo_w = n_layers_w * cutoff + skin
@@ -529,6 +539,21 @@ def make_halo_gnn_md(mesh: Mesh, mp: MegaParams, box: float, n_slabs: int,
 
         f = gnn_force(pos_l)
 
+        valid3 = valid_l[:, None]
+
+        def proj_pos(x0, v, hdt):
+            x_free = x0 + hdt * v
+            if constraint is None:
+                return x_free, v
+            x_c = constraint.positions(x0, x_free)
+            x_c = jnp.where(valid3, x_c, x_free)   # padding rows inert
+            return x_c, v + (x_c - x_free) / hdt
+
+        def proj_vel(x, v):
+            if constraint is None:
+                return v
+            return jnp.where(valid3, constraint.velocities(x, v), v)
+
         if integrator == "nose_hoover":
             def ke2_global(v):
                 # padding rows have v=0 and contribute nothing
@@ -556,13 +581,18 @@ def make_halo_gnn_md(mesh: Mesh, mp: MegaParams, box: float, n_slabs: int,
             return pos_l, vel_l, chain
 
         def one_step(carry, xi):
+            # g-BAOAB, mirroring integrators.baoab_langevin step for step
+            # (projections are no-ops when constraint is None).
             p, v, f = carry
-            v = v + 0.5 * dt * f / m
-            p2 = p + 0.5 * dt * v
-            v = a * v + b * sigma_v * xi
-            p2 = p2 + 0.5 * dt * v
+            v = v + 0.5 * dt * f / m                      # B
+            v = proj_vel(p, v)
+            p2, v = proj_pos(p, v, 0.5 * dt)              # A
+            v = a * v + b * sigma_v * xi                  # O
+            v = proj_vel(p2, v)
+            p2, v = proj_pos(p2, v, 0.5 * dt)             # A
             f2 = gnn_force(p2)
-            v = v + 0.5 * dt * f2 / m
+            v = v + 0.5 * dt * f2 / m                     # B
+            v = proj_vel(p2, v)
             return (p2, v, f2), None
 
         (pos_l, vel_l, _), _ = jax.lax.scan(one_step, (pos_l, vel_l, f),
@@ -637,7 +667,7 @@ def make_halo_gnn_md(mesh: Mesh, mp: MegaParams, box: float, n_slabs: int,
 
 def run_halo_gnn_md(mesh, chunk_fn, pos, vel, box, n_slabs, capacity,
                     strip_capacity, halo_width, n_steps, chunk_steps, rng,
-                    extras=None, axis: str = "dp"):
+                    extras=None, axis: str = "dp", group_size: int = 1):
     """Driver with atom migration: re-sort into slabs every chunk_steps,
     halo-exchange inside chunks (the resort_fn parity item vs
     parallel/halo.py:203 — without it atoms drifting past the strip width
@@ -651,7 +681,8 @@ def run_halo_gnn_md(mesh, chunk_fn, pos, vel, box, n_slabs, capacity,
 
     def resort(p, v, ex, key):
         return sort_into_slabs(p, v, box, n_slabs, capacity, halo_width,
-                               strip_capacity, key, extras=ex)
+                               strip_capacity, key, extras=ex,
+                               group_size=group_size)
 
     blk = NamedSharding(mesh, P(axis))
     rep = NamedSharding(mesh, P())

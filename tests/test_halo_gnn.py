@@ -600,3 +600,88 @@ def test_distributed_nose_hoover_matches_single_device():
         np.testing.assert_allclose(d, 0.0, atol=5e-3)
         checked += 1
     assert checked == n
+
+
+def test_distributed_rigid_water_matches_single_device():
+    """Constrained (SETTLE rigid water) distributed GNN-MD: molecule-
+    grouped slab sort (group_size=3) + per-slab projections must track the
+    single-device g-BAOAB constrained trajectory (gamma=0, deterministic)
+    through a re-sort boundary."""
+    from gamd_tpu.core import units as U
+    from gamd_tpu.md import integrators as integ
+    from gamd_tpu.md.constraints import RigidWater
+    from gamd_tpu.neighbors.topology import neighbor_bond_channel
+    from gamd_tpu.parallel.halo_gnn import run_halo_gnn_md
+
+    n_mol, box, n_slabs = 600, 48.0, 4
+    cutoff, skin, k = 4.2, 0.5, 48
+    pos, onehot, n = _water_system(n_mol=n_mol, box=box, seed=9)
+    cfg, mp, params = _water_model()
+    h0 = _water_h0(params, onehot)
+    mesh = make_mesh(n_slabs)
+    cap = 768                          # multiple of 3
+    # +1 A slack: grouped sort places H's up to a bond length outside
+    # their molecule's slab.
+    halo = cutoff + skin + 1.0
+    aid = jnp.arange(n, dtype=jnp.int32)
+    masses = jnp.asarray(np.where(np.arange(n) % 3 == 0, 15.9994, 1.008)
+                         .astype(np.float32))
+    full_constraint = RigidWater(n_mol, box)
+    pos = full_constraint.project_initial(pos)
+    rngv = np.random.RandomState(11)
+    vel = jnp.asarray(rngv.randn(n, 3).astype(np.float32) * 0.02)
+    vel = full_constraint.velocities(pos, vel)
+    dt_fs, funit = 2.0, 1e-3
+    chunk_steps, n_chunks = 5, 2
+
+    chunk_fn = make_halo_gnn_md(
+        mesh, mp, box, n_slabs, cutoff, skin, k, None,
+        length_mean=2.8, length_std=1.1, masses_scalar=0.0,
+        temperature=300.0, dt_fs=dt_fs, friction_per_ps=0.0,
+        force_unit=funit, use_bond=True, per_atom_h0=True,
+        per_atom_mass=True, constraint=RigidWater(cap // 3, box))
+    st, ovf = run_halo_gnn_md(
+        mesh, chunk_fn, pos, vel, box, n_slabs, cap, cap, halo,
+        n_chunks * chunk_steps, chunk_steps, jax.random.PRNGKey(12),
+        extras={"h0": h0, "aid": aid, "mass": masses}, group_size=3)
+    assert not bool(ovf)
+
+    dt = dt_fs * U.FS
+
+    def force(p):
+        pw = space.wrap(p, box)
+        idx, mask, _ = dense_neighbor_list(pw, box, cutoff, k)
+        bond = neighbor_bond_channel(idx)
+        return reference_forward(pw, idx, mask, h0, mp, box, None,
+                                 2.8, 1.1, bond=bond) * funit
+
+    init_fn, step_fn = integ.baoab_langevin(
+        force, dt, masses, 300.0, friction=0.0,
+        constraint=full_constraint)
+
+    @jax.jit
+    def run_ref(p, v):
+        zero = jnp.zeros_like(p)
+        def step(s, _):
+            return step_fn(s, noise=zero), None
+        s, _ = jax.lax.scan(step, init_fn(p, v, jax.random.PRNGKey(0)),
+                            None, length=n_chunks * chunk_steps)
+        return s.pos
+
+    p_ref = np.asarray(space.wrap(run_ref(pos, vel), box))
+    rows_aid = np.asarray(st.aux["aid"])
+    rows_val = np.asarray(st.valid)
+    p_rows = np.asarray(space.wrap(st.pos, box))
+    # Constraint residual holds on the distributed side.
+    res = float(full_constraint.residual(
+        jnp.asarray(p_rows[rows_val][np.argsort(rows_aid[rows_val])])))
+    assert res < 5e-5, res
+    checked = 0
+    for r in range(rows_aid.shape[0]):
+        if not rows_val[r]:
+            continue
+        d = p_rows[r] - p_ref[rows_aid[r]]
+        d -= box * np.round(d / box)
+        np.testing.assert_allclose(d, 0.0, atol=5e-3)
+        checked += 1
+    assert checked == n
