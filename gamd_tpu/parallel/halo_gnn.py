@@ -91,7 +91,7 @@ def _make_exchange(axis, n_slabs, lidx, ridx, lval, rval):
 
 def _slab_forward(mp, box, cutoff, nbr_capacity, length_mean, length_std,
                   exchange, pos_l, valid_l, h0_own, aid_l, flip_dir,
-                  use_ln, conv_act, mlp_act, rbf_gap):
+                  use_ln, conv_act, mlp_act, rbf_gap, nbr=None):
     """One slab's force evaluation: env build -> rect list -> encoder ->
     L conv layers with per-layer h strip exchange -> decode.
 
@@ -101,17 +101,29 @@ def _slab_forward(mp, box, cutoff, nbr_capacity, length_mean, length_std,
     (reference: /root/reference/code/nn_module.py:510-511), with halo
     sources resolved through the exchanged id rows.
     Returns ([C, 3] forces, overflow flag local to this call).
+
+    nbr=(idx, build_mask): reuse a list built once per chunk at
+    cutoff+skin (env row identity is fixed within a chunk — the strips
+    are); the true-cutoff mask is refreshed from current distances, so
+    results are exact while drift stays inside the skin. O(C*K) per step
+    instead of the O(C*E) rect rebuild.
     """
     n_layers = mp.w_src.shape[0]
     c = pos_l.shape[0]
     env_pos, env_ok = exchange(pos_l, valid_l)
-    idx, mask, ovf = rect_neighbor_list(
-        pos_l, env_pos, env_ok, box, cutoff, nbr_capacity,
-        self_idx=jnp.arange(c, dtype=jnp.int32))
-    mask = mask & valid_l[:, None]          # padding rows have no edges
+    if nbr is None:
+        idx, mask, ovf = rect_neighbor_list(
+            pos_l, env_pos, env_ok, box, cutoff, nbr_capacity,
+            self_idx=jnp.arange(c, dtype=jnp.int32))
+        mask = mask & valid_l[:, None]      # padding rows have no edges
+    else:
+        idx, mask = nbr
+        ovf = jnp.asarray(False)
 
     rel = space.min_image(env_pos[idx] - pos_l[:, None, :], box)
     dist = jnp.sqrt(jnp.sum(rel * rel, axis=-1))
+    if nbr is not None:
+        mask = mask & (dist * dist < cutoff * cutoff)
     unit = rel / (dist[..., None] + 1e-8)
     if flip_dir:
         unit = -unit
@@ -135,7 +147,8 @@ def _slab_forward(mp, box, cutoff, nbr_capacity, length_mean, length_std,
 def _wide_slab_forward_banded(mp, box, cutoff, nbr_capacity, length_mean,
                               length_std, exchange, pos_l, valid_l, h0_env,
                               aid_env, flip_dir, use_ln, mlp_act, rbf_gap,
-                              x_center, band, banded_tile, interpret):
+                              x_center, band, banded_tile, interpret,
+                              nbr=None):
     """Wide-halo slab forward through the BANDED whole-model kernel
     (ops.banded): env rows are unwrapped along x around the slab center,
     x-sorted so each tile's neighbors form a tight index band, and the
@@ -152,10 +165,16 @@ def _wide_slab_forward_banded(mp, box, cutoff, nbr_capacity, length_mean,
     c = pos_l.shape[0]
     env_pos, env_ok = exchange(pos_l, valid_l)
     e_rows = env_pos.shape[0]
-    idx, mask, ovf = rect_neighbor_list(
-        env_pos, env_pos, env_ok, box, cutoff, nbr_capacity,
-        self_idx=jnp.arange(e_rows, dtype=jnp.int32))
-    mask = mask & env_ok[:, None]
+    if nbr is None:
+        idx, mask, ovf = rect_neighbor_list(
+            env_pos, env_pos, env_ok, box, cutoff, nbr_capacity,
+            self_idx=jnp.arange(e_rows, dtype=jnp.int32))
+        mask = mask & env_ok[:, None]
+    else:
+        # Reused chunk list (built at cutoff+skin); banded_forward applies
+        # the true-cutoff mask from current distances itself.
+        idx, mask = nbr
+        ovf = jnp.asarray(False)
 
     # Unwrap x around the slab center so ghosts across the periodic seam
     # sort adjacent to the boundary they touch (tight bands); invalid rows
@@ -196,7 +215,7 @@ def wide_band_default(env_rows: int, cutoff: float, slab_w: float,
 def _wide_slab_forward(mp, box, cutoff, nbr_capacity, length_mean,
                        length_std, exchange, pos_l, valid_l, h0_env,
                        aid_env, flip_dir, use_ln, conv_act, mlp_act,
-                       rbf_gap):
+                       rbf_gap, nbr=None):
     """Wide-halo slab forward: ONE position exchange, whole forward local.
 
     The exchange strips must cover n_layers * cutoff (caller-asserted), so
@@ -216,14 +235,20 @@ def _wide_slab_forward(mp, box, cutoff, nbr_capacity, length_mean,
     c = pos_l.shape[0]
     env_pos, env_ok = exchange(pos_l, valid_l)
     e_rows = env_pos.shape[0]
-    # Square-over-env neighbor list: every env row is a query too.
-    idx, mask, ovf = rect_neighbor_list(
-        env_pos, env_pos, env_ok, box, cutoff, nbr_capacity,
-        self_idx=jnp.arange(e_rows, dtype=jnp.int32))
-    mask = mask & env_ok[:, None]
+    if nbr is None:
+        # Square-over-env neighbor list: every env row is a query too.
+        idx, mask, ovf = rect_neighbor_list(
+            env_pos, env_pos, env_ok, box, cutoff, nbr_capacity,
+            self_idx=jnp.arange(e_rows, dtype=jnp.int32))
+        mask = mask & env_ok[:, None]
+    else:
+        idx, mask = nbr
+        ovf = jnp.asarray(False)
 
     rel = space.min_image(env_pos[idx] - env_pos[:, None, :], box)
     dist = jnp.sqrt(jnp.sum(rel * rel, axis=-1))
+    if nbr is not None:
+        mask = mask & (dist * dist < cutoff * cutoff)
     unit = rel / (dist[..., None] + 1e-8)
     if flip_dir:
         unit = -unit
@@ -411,7 +436,8 @@ def make_halo_gnn_md(mesh: Mesh, mp: MegaParams, box: float, n_slabs: int,
                      interpret: bool = False,
                      integrator: str = "langevin", ndf: int = None,
                      chain_length: int = 10, chain_mts: int = 5,
-                     chain_ys: int = 5, constraint=None):
+                     chain_ys: int = 5, constraint=None,
+                     reuse_nbrs: bool = True):
     """chunk_fn(state, n_steps) for BAOAB GNN-MD over the mesh — the GNN
     analogue of halo.make_halo_lj_step (sort with halo.sort_into_slabs at
     halo_width = cutoff + skin, or wide_halo_width(...) when wide=True).
@@ -442,7 +468,14 @@ def make_halo_gnn_md(mesh: Mesh, mp: MegaParams, box: float, n_slabs: int,
     triplets in order, and halo_width sized with ~1 A of bond slack.
     Projections follow the single-device g-BAOAB splitting exactly
     (integrators.baoab_langevin); padding "molecules" (degenerate
-    sentinel geometry) are masked back to their unconstrained values."""
+    sentinel geometry) are masked back to their unconstrained values.
+
+    reuse_nbrs (default True): the neighbor list is built ONCE per chunk
+    at cutoff+skin and each step refreshes the true-cutoff mask from
+    current distances — O(C*K)/step instead of the O(C*E) rect rebuild,
+    exact while intra-chunk drift stays inside the skin (the same
+    contract as the single-device Simulation driver). Requires the sort
+    halo_width >= cutoff + skin, which all callers already use."""
     assert not banded or wide, "banded requires wide=True"
     assert not banded or conv_act == "silu", \
         "the banded kernel hard-codes the silu conv activation"
@@ -496,9 +529,30 @@ def make_halo_gnn_md(mesh: Mesh, mp: MegaParams, box: float, n_slabs: int,
             m = masses_scalar
         sigma_v = jnp.sqrt(kbt / m)
 
+        nbr = None
+        ovf0 = jnp.asarray(False)
+        if reuse_nbrs:
+            # Chunk neighbor list at cutoff+skin (env row identity is
+            # fixed within a chunk); each force eval refreshes the
+            # true-cutoff mask from current distances.
+            posw0 = space.wrap(pos_l, box)
+            env0, env_ok0 = exchange(posw0, valid_l)
+            r_build = cutoff + skin
+            if wide:
+                idx0, m0, ovf0 = rect_neighbor_list(
+                    env0, env0, env_ok0, box, r_build, nbr_capacity,
+                    self_idx=jnp.arange(env0.shape[0], dtype=jnp.int32))
+                m0 = m0 & env_ok0[:, None]
+            else:
+                idx0, m0, ovf0 = rect_neighbor_list(
+                    posw0, env0, env_ok0, box, r_build, nbr_capacity,
+                    self_idx=jnp.arange(pos_l.shape[0], dtype=jnp.int32))
+                m0 = m0 & valid_l[:, None]
+            nbr = (idx0, m0)
+
         def poison(f, ovf):
             # Overflow -> NaN forces (see factory docstring).
-            return jnp.where(ovf, jnp.nan, 1.0) * f * force_unit
+            return jnp.where(ovf | ovf0, jnp.nan, 1.0) * f * force_unit
 
         if wide:
             # h0/aid env rows are chunk-invariant: exchange ONCE here so
@@ -518,7 +572,7 @@ def make_halo_gnn_md(mesh: Mesh, mp: MegaParams, box: float, n_slabs: int,
                     mp, box, cutoff, nbr_capacity, length_mean,
                     length_std, exchange, posw, valid_l, h0_env, aid_env,
                     flip_dir, use_ln, mlp_act, rbf_gap, x_center, bnd,
-                    banded_tile, interpret)
+                    banded_tile, interpret, nbr=nbr)
                 return poison(f, ovf)
         elif wide:
             def gnn_force(p):
@@ -526,7 +580,8 @@ def make_halo_gnn_md(mesh: Mesh, mp: MegaParams, box: float, n_slabs: int,
                 f, ovf = _wide_slab_forward(
                     mp, box, cutoff, nbr_capacity, length_mean,
                     length_std, exchange, posw, valid_l, h0_env, aid_env,
-                    flip_dir, use_ln, conv_act, mlp_act, rbf_gap)
+                    flip_dir, use_ln, conv_act, mlp_act, rbf_gap,
+                    nbr=nbr)
                 return poison(f, ovf)
         else:
             def gnn_force(p):
@@ -534,7 +589,8 @@ def make_halo_gnn_md(mesh: Mesh, mp: MegaParams, box: float, n_slabs: int,
                 f, ovf = _slab_forward(
                     mp, box, cutoff, nbr_capacity, length_mean,
                     length_std, exchange, posw, valid_l, h0_own, aid_l,
-                    flip_dir, use_ln, conv_act, mlp_act, rbf_gap)
+                    flip_dir, use_ln, conv_act, mlp_act, rbf_gap,
+                    nbr=nbr)
                 return poison(f, ovf)
 
         f = gnn_force(pos_l)
