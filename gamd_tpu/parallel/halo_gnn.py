@@ -91,7 +91,8 @@ def _make_exchange(axis, n_slabs, lidx, ridx, lval, rval):
 
 def _slab_forward(mp, box, cutoff, nbr_capacity, length_mean, length_std,
                   exchange, pos_l, valid_l, h0_own, aid_l, flip_dir,
-                  use_ln, conv_act, mlp_act, rbf_gap, nbr=None):
+                  use_ln, conv_act, mlp_act, rbf_gap, nbr=None,
+                  bond=None):
     """One slab's force evaluation: env build -> rect list -> encoder ->
     L conv layers with per-layer h strip exchange -> decode.
 
@@ -128,8 +129,8 @@ def _slab_forward(mp, box, cutoff, nbr_capacity, length_mean, length_std,
     if flip_dir:
         unit = -unit
     std = (dist - length_mean) / length_std
-    bond = None
-    if aid_l is not None:
+    if bond is None and aid_l is not None:
+        # Chunk-invariant when the list is reused — callers hoist it.
         aid_env, _ = exchange(aid_l, valid_l)
         bond = water_bond_mask(aid_l[:, None], aid_env[idx])
     e = encode_edges(mp, unit, std, bond, mlp_act, rbf_gap)
@@ -475,7 +476,10 @@ def make_halo_gnn_md(mesh: Mesh, mp: MegaParams, box: float, n_slabs: int,
     current distances — O(C*K)/step instead of the O(C*E) rect rebuild,
     exact while intra-chunk drift stays inside the skin (the same
     contract as the single-device Simulation driver). Requires the sort
-    halo_width >= cutoff + skin, which all callers already use."""
+    halo_width >= cutoff + skin, which all callers already use, and
+    nbr_capacity sized for cutoff+skin neighborhoods (larger than the
+    per-step-rebuild requirement of plain cutoff; an undersized capacity
+    overflows at chunk start and NaN-poisons the whole chunk loudly)."""
     assert not banded or wide, "banded requires wide=True"
     assert not banded or conv_act == "silu", \
         "the banded kernel hard-codes the silu conv activation"
@@ -492,6 +496,17 @@ def make_halo_gnn_md(mesh: Mesh, mp: MegaParams, box: float, n_slabs: int,
             f"wide halo needs slab width {slab_w:.2f} >= "
             f"n_layers*cutoff+skin = {halo_w:.2f}")
         assert n_slabs >= 3 or slab_w >= 2 * halo_w
+    else:
+        # Layer-wise: strips only reach ADJACENT slabs, so a slab narrower
+        # than the interaction halo silently loses neighbors two slabs
+        # away (no overflow fires — the atoms simply are not in the env).
+        halo_lw = cutoff + skin
+        slab_w = box / n_slabs
+        assert slab_w >= halo_lw, (
+            f"slab width {slab_w:.2f} < cutoff+skin = {halo_lw:.2f}: "
+            f"neighbors beyond the adjacent slab would be silently lost "
+            f"(use fewer slabs)")
+        assert n_slabs >= 3 or slab_w >= 2 * halo_lw
     dt = dt_fs * units.FS
     gamma = friction_per_ps / units.PS
     a = float(np.exp(-gamma * dt))
@@ -550,6 +565,13 @@ def make_halo_gnn_md(mesh: Mesh, mp: MegaParams, box: float, n_slabs: int,
                 m0 = m0 & valid_l[:, None]
             nbr = (idx0, m0)
 
+        bond0 = None
+        if reuse_nbrs and not wide and use_bond:
+            # idx is fixed for the chunk, aid is constant: the O-H bond
+            # channel is chunk-invariant — build it once here.
+            aid_env0, _ = exchange(aid_l, valid_l)
+            bond0 = water_bond_mask(aid_l[:, None], aid_env0[nbr[0]])
+
         def poison(f, ovf):
             # Overflow -> NaN forces (see factory docstring).
             return jnp.where(ovf | ovf0, jnp.nan, 1.0) * f * force_unit
@@ -590,7 +612,7 @@ def make_halo_gnn_md(mesh: Mesh, mp: MegaParams, box: float, n_slabs: int,
                     mp, box, cutoff, nbr_capacity, length_mean,
                     length_std, exchange, posw, valid_l, h0_own, aid_l,
                     flip_dir, use_ln, conv_act, mlp_act, rbf_gap,
-                    nbr=nbr)
+                    nbr=nbr, bond=bond0)
                 return poison(f, ovf)
 
         f = gnn_force(pos_l)

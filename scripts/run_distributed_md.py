@@ -84,8 +84,8 @@ def main():
     state, model_cfg, system = load_self_describing(
         args.ckpt, fallback_system=get_preset(args.system))
     n_slabs = args.slabs or len(jax.devices())
-    mesh = make_mesh(n_slabs)
-    water = args.system != "lj"
+    water = system.species == "water"      # from the checkpoint envelope
+
     group = 3 if water else 1
     n_atoms = args.n_atoms or 8 * system.n_atoms
     n_atoms -= n_atoms % group
@@ -94,6 +94,12 @@ def main():
     reps = int(np.ceil((n_atoms / system.n_atoms) ** (1 / 3)))
     box = float(system.box) * reps
     ff = GNNForceField(state, system, model_cfg)
+
+    # Constrained distributed MD is langevin-only (the global-chain NHC
+    # has no projection hooks yet).
+    if water and args.rigid and args.integrator == "nose_hoover":
+        parser.error("distributed nose_hoover is unconstrained-only: "
+                     "pass --no-rigid (or use langevin for rigid water)")
 
     rng = np.random.RandomState(args.seed)
     if water:
@@ -131,6 +137,20 @@ def main():
 
     halo = (wide_halo_width(mp, system.cutoff, system.skin) if args.wide
             else system.cutoff + system.skin) + (1.0 if water else 0.0)
+    # Slabs must be at least a halo wide (2x for 2-slab meshes). A mesh
+    # over a SUBSET of devices deadlocks CPU-backend collectives, so do
+    # not silently shrink the slab count — tell the user the feasible
+    # geometry instead.
+    n_fit = max(int(box // halo), 1)
+    if n_fit == 2 and box / 2 < 2 * halo:
+        n_fit = 1
+    if box / n_slabs < halo or (n_slabs == 2 and box / 2 < 2 * halo):
+        parser.error(
+            f"box {box:.1f} A / {n_slabs} slabs = {box / n_slabs:.1f} A "
+            f"per slab < halo {halo:.1f} A. Feasible: at most {n_fit} "
+            f"slabs — rerun with --slabs {n_fit} and matching device "
+            f"count (--cpu_devices {n_fit} for virtual meshes), or raise "
+            f"--n_atoms.")
     cap = int(np.ceil(1.5 * n_atoms / n_slabs / 24)) * 24   # /3 and /8
     hs = int(np.ceil(cap * min(1.0, 1.5 * halo / (box / n_slabs))))
 
@@ -153,11 +173,14 @@ def main():
     if args.integrator == "nose_hoover":
         kw.update(integrator="nose_hoover", ndf=3 * n_atoms)
 
+    mesh = make_mesh(n_slabs)
     chunk_fn = make_halo_gnn_md(
         mesh, mp, box, n_slabs, system.cutoff, system.skin,
         system.nbr_capacity, h0_row, length_mean, length_std,
         temperature=temp, dt_fs=args.dt, friction_per_ps=args.friction,
         flip_dir=model_cfg.flip_dir, use_ln=model_cfg.use_layer_norm,
+        conv_act=model_cfg.conv_activation,
+        mlp_act=model_cfg.mlp_activation, rbf_gap=model_cfg.rbf_gap,
         wide=args.wide, banded=args.banded,
         interpret=bool(args.cpu_devices), **kw)
 
@@ -180,7 +203,8 @@ def main():
     v = np.asarray(st.vel)[np.asarray(st.valid)]
     ke = 0.5 * float(np.sum(m_col * (v * v).sum(-1))) if water else \
         0.5 * float(lj.ARGON_MASS) * float((v * v).sum())
-    t_inst = 2.0 * ke / (3 * n_valid * units.KB)
+    ndf_rep = (2 * n_valid if (water and args.rigid) else 3 * n_valid)
+    t_inst = 2.0 * ke / (ndf_rep * units.KB)
     print(f"{args.steps} steps in {wall:.2f} s "
           f"({args.steps / wall:.1f} steps/s, "
           f"{args.steps * n_atoms / wall:.0f} atom-steps/s, incl. compile)")
