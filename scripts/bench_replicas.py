@@ -34,14 +34,20 @@ def main():
     state = create_train_state(build_model(model_cfg, system), system,
                                TrainConfig(), 1, rng=jax.random.PRNGKey(0))
     ff = GNNForceField(state, system, model_cfg)
-    md = MDConfig(integrator="langevin", temperature=system.temperature,
-                  rebuild_every=20)
+    # GAMD_BENCH_INTEGRATOR=nose_hoover measures the fused NHC replica
+    # path (batch-polymorphic chain, no megastep — NHC chain state stays
+    # in the XLA scan).
+    integ = os.environ.get("GAMD_BENCH_INTEGRATOR", "langevin")
+    md = MDConfig(integrator=integ, temperature=system.temperature,
+                  friction_per_ps=25.0, rebuild_every=20)
     # Megakernel with the explicit replica grid dimension (round 1's vmap
     # lowering collapsed to ~208 steps/s/replica). The megastep path runs
     # the whole replica batch's neighbor-reuse window in one program.
     k_model = int(os.environ.get("GAMD_BENCH_K_MODEL", "48")) or None
     sim = Simulation(ff.force_fn(megakernel=True), system, md,
-                     k_model=k_model, megastep_fn=ff.megastep_fn())
+                     k_model=k_model,
+                     megastep_fn=(ff.megastep_fn()
+                                  if integ == "langevin" else None))
     _, pos0 = lj.lj_fluid_box(system.n_atoms, 0.5)
 
     states = sim.init_replicas(jnp.asarray(pos0), n_replicas,

@@ -33,6 +33,11 @@ timeout 1800 python scripts/bench_large.py --sizes 1000 --gnn_size 0 \
   --gnn_banded_sizes 32768 > /tmp/bench_banded_32k.log 2>&1
 echo "step3 rc=$? $(grep '^{' /tmp/bench_banded_32k.log | tail -1)"
 
+echo "=== [3b] NHC REPLICA BENCH (fused chain path, r3 feature) $(date)"
+timeout 1800 bash -c 'GAMD_BENCH_INTEGRATOR=nose_hoover python scripts/bench_replicas.py 8 500' \
+  > /tmp/bench_replicas_nhc_r4.log 2>&1
+echo "step3b rc=$? $(grep '^{' /tmp/bench_replicas_nhc_r4.log | tail -1)"
+
 echo "=== [4] TIP3P NHC ROLLOUT (faulted twice in r3 on worker errors) $(date)"
 CKPT=$(ls model_ckpt_tip3p_r3/checkpoint_*.msgpack | sort -V | tail -1)
 timeout 2400 python scripts/analyze_rollout.py --system tip3p --ckpt "$CKPT" \
