@@ -301,9 +301,16 @@ def _forward_body(scalars_ref, pos_pk_ref, idx_ref, bmask_ref,
                   tile_n: int, k: int, n_pad: int, n_tiles: int, n_rows: int,
                   n_layers: int, d: int, flip_dir: bool, use_ln: bool,
                   conv_act: str, mlp_act: str, f32_edges: bool,
-                  oh_scr=None):
+                  oh_scr=None, ablate: frozenset = frozenset()):
     """Whole-model forward over refs/scratch already in VMEM. Shared by the
     single-shot megakernel and the multi-step MD kernel.
+
+    `ablate` (BENCHMARK-ONLY, compile-time) names stages to neutralize so
+    scripts/bench_ablate.py can measure each stage's marginal wall-clock
+    cost as an end-to-end delta (the honest decomposition methodology —
+    in-kernel timing loops collapse on this backend, RESULTS.md). Ablated
+    outputs are replaced with cheap broadcasts of the same shape; numerics
+    are intentionally wrong under any non-empty ablate.
 
     pos_pk/out refs are 2D, already sliced to this grid step's
     replica; idx/bmask/bond/h0 are 2D with the replica axis FOLDED into
@@ -328,6 +335,8 @@ def _forward_body(scalars_ref, pos_pk_ref, idx_ref, bmask_ref,
     gamma = scalars_ref[4]
     cact = _ACTS[conv_act]
     mact = _ACTS[mlp_act]
+    if "acts" in ablate:            # activation (VPU transcendental) cost
+        cact = mact = lambda x: x * 0.5
 
     def mm(a, w):
         if f32_edges:        # logic-verification mode: no bf16 noise
@@ -348,17 +357,21 @@ def _forward_body(scalars_ref, pos_pk_ref, idx_ref, bmask_ref,
         r0 = pl.multiple_of(t * rows, rows)          # local (scratch) rows
         rg = pl.multiple_of(row_base + t * rows, rows)   # global input rows
         a0 = pl.multiple_of(t * tile_n, tile_n)
-        if oh_scr is not None:
-            onehot = oh_scr[pl.ds(r0, rows), :]
+        if "gather_pos" in ablate:
+            g = jnp.broadcast_to(
+                pos_pk_ref[0:1, :].astype(jnp.float32), (rows, 128))
         else:
-            idx_t = idx_ref[pl.ds(rg, rows), :]      # [rows, 1] column
-            iota = jax.lax.broadcasted_iota(jnp.int32, (rows, n_pad), 1)
-            onehot = (iota == idx_t).astype(bf)
-        # One dot fetches hi (lanes 0:3) and lo (lanes 3:6) together; the
-        # 3-lane roll+add reconstructs the exact f32 position in lanes 0:3
-        # (lanes 3+ of the sum are garbage and never read).
-        g = jnp.dot(onehot, pos_pk_ref[:, :],
-                    preferred_element_type=jnp.float32)
+            if oh_scr is not None:
+                onehot = oh_scr[pl.ds(r0, rows), :]
+            else:
+                idx_t = idx_ref[pl.ds(rg, rows), :]  # [rows, 1] column
+                iota = jax.lax.broadcasted_iota(jnp.int32, (rows, n_pad), 1)
+                onehot = (iota == idx_t).astype(bf)
+            # One dot fetches hi (lanes 0:3) and lo (lanes 3:6) together;
+            # the 3-lane roll+add reconstructs the exact f32 position in
+            # lanes 0:3 (lanes 3+ of the sum are garbage and never read).
+            g = jnp.dot(onehot, pos_pk_ref[:, :],
+                        preferred_element_type=jnp.float32)
         nbr = g + pltpu.roll(g, shift=125, axis=1)
         cpk = pos_pk_ref[pl.ds(a0, tile_n), :].astype(jnp.float32)
         ctr = jnp.repeat(cpk + pltpu.roll(cpk, shift=125, axis=1),
@@ -378,22 +391,27 @@ def _forward_body(scalars_ref, pos_pk_ref, idx_ref, bmask_ref,
             & (d2 < cutoff2), 1.0, 0.0)
         live_scr[pl.ds(r0, rows), :] = live.astype(live_scr.dtype)
 
-        diff = std - centers_ref[0:1, :]
-        rbf = jnp.exp(-gamma * diff * diff)
-        z = mm(rbf, w_rbf_ref[:, :])
+        if "rbf" in ablate:
+            z = jnp.broadcast_to(std, (rows, w_rbf_ref.shape[1]))
+        else:
+            diff = std - centers_ref[0:1, :]
+            rbf = jnp.exp(-gamma * diff * diff)
+            z = mm(rbf, w_rbf_ref[:, :])
         z = (z + ux * w_geo_ref[0:1, :] + uy * w_geo_ref[1:2, :]
              + uz * w_geo_ref[2:3, :] + std * w_geo_ref[3:4, :]
              + bond_ref[pl.ds(rg, rows), :].astype(jnp.float32)
              * w_geo_ref[4:5, :]
              + b0_ref[0:1, :])
-        z = mact(z)
-        z = mm(z, w1_ref[:, :]) + b1_ref[0:1, :]
-        z = mact(z)
-        z = mm(z, w2_ref[:, :]) + b2_ref[0:1, :]
-        mean = jnp.mean(z, axis=1, keepdims=True)
-        zc = z - mean
-        var = jnp.mean(zc * zc, axis=1, keepdims=True)
-        z = zc * jax.lax.rsqrt(var + 1e-6)
+        if "encmlp" not in ablate:
+            z = mact(z)
+            z = mm(z, w1_ref[:, :]) + b1_ref[0:1, :]
+            z = mact(z)
+            z = mm(z, w2_ref[:, :]) + b2_ref[0:1, :]
+        if "ln" not in ablate:
+            mean = jnp.mean(z, axis=1, keepdims=True)
+            zc = z - mean
+            var = jnp.mean(zc * zc, axis=1, keepdims=True)
+            z = zc * jax.lax.rsqrt(var + 1e-6)
         z = z * eln_s_ref[0:1, :] + eln_b_ref[0:1, :]
         e_scr[pl.ds(r0, rows), :] = z.astype(bf)
         return 0
@@ -406,7 +424,7 @@ def _forward_body(scalars_ref, pos_pk_ref, idx_ref, bmask_ref,
     # ---- conv layers (unrolled; weights indexed statically) --------------
     for layer in range(n_layers):
         h = h_scr[:, :]
-        if use_ln:
+        if use_ln and "ln" not in ablate:
             mean = jnp.mean(h, axis=1, keepdims=True)
             hc = h - mean
             var = jnp.mean(hc * hc, axis=1, keepdims=True)
@@ -417,8 +435,11 @@ def _forward_body(scalars_ref, pos_pk_ref, idx_ref, bmask_ref,
         # dst staged through VMEM: conv_tile reads its tile with pl.ds —
         # Mosaic cannot dynamic_slice a register value at a loop-carried
         # offset, but ref indexing is fine.
-        dst_scr[:, :] = (mmf(hn, w_dst_ref[layer])
-                         + b_dst_ref[layer, :, :]).astype(dst_scr.dtype)
+        if "nodeops" in ablate:
+            dst_scr[:, :] = hn.astype(dst_scr.dtype)
+        else:
+            dst_scr[:, :] = (mmf(hn, w_dst_ref[layer])
+                             + b_dst_ref[layer, :, :]).astype(dst_scr.dtype)
         # Only hn is gathered per edge; src_affine is applied AFTER the
         # gather ([rows,D]@[D,H] = 0.4 GF vs gathering a precomputed
         # 256-lane concat = 1.3 GF extra). The hi/lo bf16 split keeps the
@@ -435,14 +456,19 @@ def _forward_body(scalars_ref, pos_pk_ref, idx_ref, bmask_ref,
             r0 = pl.multiple_of(t * rows, rows)
             rg = pl.multiple_of(row_base + t * rows, rows)
             a0 = pl.multiple_of(t * tile_n, tile_n)
-            if oh_scr is not None:
-                onehot = oh_scr[pl.ds(r0, rows), :]
+            if "gather_conv" in ablate:
+                g2 = jnp.broadcast_to(
+                    nhilo_scr[0:1, :].astype(jnp.float32), (rows, 2 * d))
             else:
-                idx_t = idx_ref[pl.ds(rg, rows), :]  # [rows, 1] column
-                iota = jax.lax.broadcasted_iota(jnp.int32, (rows, n_pad), 1)
-                onehot = (iota == idx_t).astype(bf)
-            g2 = jnp.dot(onehot, nhilo_scr[:, :],
-                         preferred_element_type=jnp.float32)
+                if oh_scr is not None:
+                    onehot = oh_scr[pl.ds(r0, rows), :]
+                else:
+                    idx_t = idx_ref[pl.ds(rg, rows), :]  # [rows, 1] column
+                    iota = jax.lax.broadcasted_iota(
+                        jnp.int32, (rows, n_pad), 1)
+                    onehot = (iota == idx_t).astype(bf)
+                g2 = jnp.dot(onehot, nhilo_scr[:, :],
+                             preferred_element_type=jnp.float32)
             ghi = g2[:, 0:d]
             glo = g2[:, d:2 * d]
             h_src = ghi + glo
@@ -454,36 +480,57 @@ def _forward_body(scalars_ref, pos_pk_ref, idx_ref, bmask_ref,
             # force error, over the 3% parity budget. The three partial
             # dots run as ONE K=3D dot against the prepacked
             # [ws_hi; ws_lo; ws_hi] stack.
-            gcat = jnp.concatenate(
-                [ghi.astype(bf), glo.astype(bf)], axis=1)
-            gcat = jnp.concatenate([ghi.astype(bf), gcat], axis=1)
-            src_code = (jnp.dot(gcat, w_src3_ref[layer],
-                                preferred_element_type=jnp.float32)
-                        + b_src_ref[layer, :, :])
+            if "srcaff" in ablate:
+                src_code = jnp.broadcast_to(
+                    b_src_ref[layer, :, :], (rows, b_src_ref.shape[2]))
+            else:
+                gcat = jnp.concatenate(
+                    [ghi.astype(bf), glo.astype(bf)], axis=1)
+                gcat = jnp.concatenate([ghi.astype(bf), gcat], axis=1)
+                src_code = (jnp.dot(gcat, w_src3_ref[layer],
+                                    preferred_element_type=jnp.float32)
+                            + b_src_ref[layer, :, :])
             x = e_scr[pl.ds(r0, rows), :].astype(jnp.float32)
-            z = cact(mm(x, w_e1_ref[layer]) + b_e1_ref[layer, :, :])
-            z = mm(z, w_e2_ref[layer]) + b_e2_ref[layer, :, :]
+            if "emlp" in ablate:
+                z = x
+            else:
+                z = cact(mm(x, w_e1_ref[layer]) + b_e1_ref[layer, :, :])
+                z = mm(z, w_e2_ref[layer]) + b_e2_ref[layer, :, :]
             dst_t = dst_scr[pl.ds(a0, tile_n), :].astype(jnp.float32)
-            z = z + src_code + jnp.repeat(dst_t, k, axis=0)
-            z = cact(mm(cact(z), w_t1_ref[layer]) + b_t1_ref[layer, :, :])
-            m = mm(z, w_t2_ref[layer]) + b_t2_ref[layer, :, :]
-            msg = (m * h_src) * live_scr[pl.ds(r0, rows),
+            if "repeat" in ablate:
+                z = z + src_code + dst_t[0:1, :]
+            else:
+                z = z + src_code + jnp.repeat(dst_t, k, axis=0)
+            if "theta" not in ablate:
+                z = cact(mm(cact(z), w_t1_ref[layer])
+                         + b_t1_ref[layer, :, :])
+                z = mm(z, w_t2_ref[layer]) + b_t2_ref[layer, :, :]
+            msg = (z * h_src) * live_scr[pl.ds(r0, rows),
                                          :].astype(jnp.float32)
-            agg_scr[pl.ds(a0, tile_n), :] = jnp.sum(
-                msg.reshape(tile_n, k, d), axis=1)
+            if "agg" in ablate:
+                agg_scr[pl.ds(a0, tile_n), :] = msg[0:tile_n, :]
+            else:
+                agg_scr[pl.ds(a0, tile_n), :] = jnp.sum(
+                    msg.reshape(tile_n, k, d), axis=1)
             return 0
 
         jax.lax.fori_loop(0, n_tiles, conv_tile, 0)
         agg = agg_scr[:, :]
-        pre = (mmf(hn, w_pd_ref[layer]) + b_pd_ref[layer, :, :]
-               + mmf(agg, w_pe_ref[layer]) + b_pe_ref[layer, :, :])
-        h_scr[:, :] = h + mmf(cact(pre), w_p_ref[layer]) \
-            + b_p_ref[layer, :, :]
+        if "nodeops" in ablate:
+            h_scr[:, :] = h + cact(hn + agg)
+        else:
+            pre = (mmf(hn, w_pd_ref[layer]) + b_pd_ref[layer, :, :]
+                   + mmf(agg, w_pe_ref[layer]) + b_pe_ref[layer, :, :])
+            h_scr[:, :] = h + mmf(cact(pre), w_p_ref[layer]) \
+                + b_p_ref[layer, :, :]
 
     # ---- decoder ---------------------------------------------------------
     h = h_scr[:, :]
-    z = mact(mmf(h, wd0_ref[:, :]) + bd0_ref[0:1, :])
-    out_ref[:, :] = mmf(z, wd1_ref[:, :]) + bd1_ref[0:1, :]
+    if "decoder" in ablate:
+        out_ref[:, :] = h
+    else:
+        z = mact(mmf(h, wd0_ref[:, :]) + bd0_ref[0:1, :])
+        out_ref[:, :] = mmf(z, wd1_ref[:, :]) + bd1_ref[0:1, :]
 
 
 #: Enable the per-program one-hot cache when the [rows_total, n_pad] bf16
@@ -542,7 +589,7 @@ def _mega_md_kernel(scalars_ref, seeds_ref, pos0_ref, vel0_ref, f0_ref,
                     n_tiles: int, n_rows: int, n_layers: int, d: int,
                     flip_dir: bool, use_ln: bool, conv_act: str,
                     mlp_act: str, f32_edges: bool, interpret_rng: bool,
-                    cache_onehot: bool):
+                    cache_onehot: bool, ablate: frozenset = frozenset()):
     """n_steps of BAOAB Langevin MD with the GNN forward run ENTIRELY in
     one kernel invocation: positions, velocities, and the edge stream stay
     VMEM-resident across the whole neighbor-reuse window, and thermostat
@@ -603,7 +650,7 @@ def _mega_md_kernel(scalars_ref, seeds_ref, pos0_ref, vel0_ref, f0_ref,
             tile_n=tile_n, k=k, n_pad=n_pad, n_tiles=n_tiles, n_rows=n_rows,
             n_layers=n_layers, d=d, flip_dir=flip_dir, use_ln=use_ln,
             conv_act=conv_act, mlp_act=mlp_act, f32_edges=f32_edges,
-            oh_scr=oh_scr)
+            oh_scr=oh_scr, ablate=ablate)
 
     def hash_bits(s, tag):
         # interpret-mode stand-in for the on-core PRNG (which has no CPU
@@ -622,6 +669,8 @@ def _mega_md_kernel(scalars_ref, seeds_ref, pos0_ref, vel0_ref, f0_ref,
         return v ^ (v >> 16)
 
     def gaussian(s):
+        if "noise" in ablate:       # PRNG + Box-Muller (VPU) cost
+            return jnp.zeros((n_rows, 128), jnp.float32)
         if interpret_rng:
             bits1 = jax.lax.bitcast_convert_type(hash_bits(s, 0), jnp.int32)
             bits2 = jax.lax.bitcast_convert_type(hash_bits(s, 1), jnp.int32)
@@ -663,7 +712,8 @@ def mega_md_steps(pos, vel, force, idx, build_mask, h0, mp: MegaParams,
                   n_steps: int, c1, hdt, c2col, seed, bond=None,
                   rbf_gap=0.025, flip_dir=False, use_ln=True,
                   conv_act="silu", mlp_act="gelu", tile_n: int = 16,
-                  interpret: bool = False, f32_edges: bool = False):
+                  interpret: bool = False, f32_edges: bool = False,
+                  ablate=()):
     """Advance n_steps of fused BAOAB GNN-MD in ONE device program.
 
     Args:
@@ -744,7 +794,7 @@ def mega_md_steps(pos, vel, force, idx, build_mask, h0, mp: MegaParams,
         n_tiles=n_tiles, n_rows=n_rows_t, n_layers=mp.w_src.shape[0], d=d,
         flip_dir=flip_dir, use_ln=use_ln, conv_act=conv_act,
         mlp_act=mlp_act, f32_edges=f32_edges, interpret_rng=interpret,
-        cache_onehot=cache_onehot)
+        cache_onehot=cache_onehot, ablate=frozenset(ablate))
 
     full = lambda: pl.BlockSpec(memory_space=pltpu.VMEM)
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -777,7 +827,7 @@ def mega_md_steps(pos, vel, force, idx, build_mask, h0, mp: MegaParams,
             jax.ShapeDtypeStruct((r, n_rows_t, 128), jnp.float32),
             jax.ShapeDtypeStruct((r * n_steps,), jnp.float32),
         ],
-        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=64 * 2**20),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 2**20),
         interpret=interpret,
     )(scalars, seeds, pos_cols, vel_cols, f_cols,
       idx.astype(jnp.int32).reshape(r * rows_total, 1), bmask,
@@ -898,7 +948,7 @@ def mega_forward(pos, idx, build_mask, h0, mp: MegaParams, box, cutoff,
         # Some shapes (bench_mxu's full-forward at K=64) spill ~1 MB past
         # Mosaic's default 16 MB scoped-VMEM stack cap; the v5e has 128 MB
         # of VMEM, so raise the scoped limit well clear of it.
-        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=64 * 2**20),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 2**20),
         interpret=interpret,
     )(scalars, pos_pk,
       idx.astype(jnp.int32).reshape(r * rows_total, 1), bmask,

@@ -159,7 +159,8 @@ class GNNForceField:
         fn.banded_band = fn0.banded_band
         return fn
 
-    def megastep_fn(self, tile_n: int = 16, interpret: bool = False):
+    def megastep_fn(self, tile_n: int = 16, interpret: bool = False,
+                    ablate=()):
         """Multi-step fused MD: (pos, vel, force, idx, mask, seed, *,
         n_steps, c1, hdt, c2col, masses) -> (pos', vel', force', ke).
 
@@ -195,7 +196,7 @@ class GNNForceField:
                 bond=bond, rbf_gap=cfg.rbf_gap, flip_dir=cfg.flip_dir,
                 use_ln=cfg.use_layer_norm, conv_act=cfg.conv_activation,
                 mlp_act=cfg.mlp_activation, tile_n=tile_n,
-                interpret=interpret)
+                interpret=interpret, ablate=ablate)
 
         return fn
 
