@@ -70,7 +70,7 @@ def flop_model(n, k, tile_n, d=128, h=128, e=128, n_layers=4, n_rbf_pad=128):
     rows = n_rows * k
     per_layer_gather = 2 * rows * n_pad * (2 * d)
     return {
-        "gather_pos": 2 * rows * n_pad * 128,
+        "gather_pos": 2 * rows * n_pad * 256,
         "gather_conv": n_layers * per_layer_gather,
         "srcaff": n_layers * 2 * rows * (3 * d) * h,
         "emlp": n_layers * 2 * 2 * rows * e * h,
