@@ -1,97 +1,179 @@
 #!/bin/bash
-# Round-4 chip queue (prepared at the end of round 3 while the TPU tunnel
-# was down). Fire with:
+# Round-4 chip queue — WIPE-PROOF REVISION. Fire with:
 #   nohup bash scripts/round4_queue.sh > /tmp/queue_r4.log 2>&1 &
 #   echo $! > /tmp/queue_r4.pid
-# One TPU job at a time; every step is wall-clock bounded.
+# One TPU job at a time; every step is wall-clock bounded; evidence is
+# committed under results/ after every stage (session boundaries wipe all
+# untracked artifacts, so /tmp outputs and bare datasets do NOT survive).
 #
-# NOTE (learned the hard way in round 3):
+# Hard-learned notes:
 #  - PYTHONPATH must keep /root/.axon_site or the axon backend vanishes.
-#  - kill the bash CHILD (ps ax | grep round4_queue) and its python
+#  - Kill the bash CHILD (ps ax | grep round4_queue) and its python
 #    descendants by explicit pid — killing the launcher wrapper leaves
 #    this script running and a relaunch races it on the chip.
+#  - Datasets/checkpoints from prior sessions rarely exist: every stage
+#    below regenerates what it needs (ensure_* helpers) and falls back to
+#    the committed results/ckpts/*.msgpack checkpoints where possible.
 cd "$(dirname "$0")/.."
 export PYTHONPATH=$PWD:/root/.axon_site
+mkdir -p results results/ckpts
+
+commit_results() {  # commit_results <msg> — retry through index-lock races
+  for i in 1 2 3 4 5; do
+    git add -A results && git commit -m "$1" >/dev/null 2>&1 && break
+    sleep $((i * 3))
+  done
+  echo "committed: $1"
+}
+
+ensure_dataset() {  # ensure_dataset <system> <path> [extra flags...]
+  local sys=$1 out=$2; shift 2
+  if [ -e "$out" ] && [ -n "$(ls "$out" 2>/dev/null | head -1)" ]; then
+    echo "dataset $out present"; return 0
+  fi
+  echo "--- regenerating $sys dataset -> $out $(date)"
+  timeout 4500 python scripts/generate_data.py --system "$sys" \
+    --out "$out" --seeds 10 --frames 1000 "$@" \
+    > "results/gen_${sys}_r4.log" 2>&1
+  echo "gen $sys rc=$? $(tail -1 results/gen_${sys}_r4.log)"
+  commit_results "results: $sys dataset generation log (r4)"
+}
+
+latest_ckpt() {  # latest_ckpt <cp_dir> <committed_fallback>
+  local ck
+  ck=$(ls "$1"/checkpoint_*.msgpack 2>/dev/null | sort -V | tail -1)
+  [ -n "$ck" ] && { echo "$ck"; return; }
+  [ -f "$2" ] && echo "$2"
+}
 
 echo "=== [0] BENCH_MXU truth run (carry-threaded loop + calibration) $(date)"
-timeout 2400 python scripts/bench_mxu.py --iters 200 > /tmp/bench_mxu_r4.log 2>&1
-echo "step0 rc=$? $(grep calibration /tmp/bench_mxu_r4.log)"
+timeout 2400 python scripts/bench_mxu.py --iters 200 > results/bench_mxu_r4.log 2>&1
+echo "step0 rc=$? $(grep calibration results/bench_mxu_r4.log)"
 timeout 1500 python scripts/bench_mxu.py --iters 200 --tile_n 136 \
-  > /tmp/bench_mxu_r4_t136.log 2>&1
+  > results/bench_mxu_r4_t136.log 2>&1
 echo "step0b rc=$? (tile 136 = production bench tile)"
+commit_results "results: bench_mxu truth-run logs (SOL stage decomposition)"
+
+echo "=== [0c] NHC-megastep scalar-exp lowering probe $(date)"
+timeout 1200 python scripts/probe_nhc_kernel.py > results/probe_nhc_kernel.log 2>&1
+echo "step0c rc=$? $(tail -1 results/probe_nhc_kernel.log)"
+commit_results "results: NHC in-kernel scalar-update lowering probe"
 
 echo "=== [1] CHECK_KERNELS $(date)"
-timeout 1200 python scripts/check_kernels.py > /tmp/check_kernels_r4.log 2>&1
-echo "step1 rc=$? $(tail -n 1 /tmp/check_kernels_r4.log)"
+timeout 1200 python scripts/check_kernels.py > results/check_kernels_r4.log 2>&1
+echo "step1 rc=$? $(tail -n 1 results/check_kernels_r4.log)"
+commit_results "results: on-chip kernel parity log (r4)"
 
 echo "=== [2] BENCH (tile 136 default) $(date)"
-timeout 2400 python bench.py > /tmp/bench_r4.log 2>&1
-echo "step2 rc=$? $(tail -n 1 /tmp/bench_r4.log)"
+timeout 2400 python bench.py > results/bench_r4.log 2>&1
+echo "step2 rc=$? $(tail -n 1 results/bench_r4.log)"
+commit_results "results: headline bench log (r4)"
 
-echo "=== [3] BANDED N=32768 (vmem-limit fix) $(date)"
+echo "=== [3] BANDED N=32768 + NHC replica bench $(date)"
 timeout 1800 python scripts/bench_large.py --sizes 1000 --gnn_size 0 \
-  --gnn_banded_sizes 32768 > /tmp/bench_banded_32k.log 2>&1
-echo "step3 rc=$? $(grep '^{' /tmp/bench_banded_32k.log | tail -1)"
-
-echo "=== [3b] NHC REPLICA BENCH (fused chain path, r3 feature) $(date)"
+  --gnn_banded_sizes 32768 > results/bench_banded_32k_r4.log 2>&1
+echo "step3 rc=$? $(grep '^{' results/bench_banded_32k_r4.log | tail -1)"
 timeout 1800 bash -c 'GAMD_BENCH_INTEGRATOR=nose_hoover python scripts/bench_replicas.py 8 500' \
-  > /tmp/bench_replicas_nhc_r4.log 2>&1
-echo "step3b rc=$? $(grep '^{' /tmp/bench_replicas_nhc_r4.log | tail -1)"
+  > results/bench_replicas_nhc_r4.log 2>&1
+echo "step3b rc=$? $(grep '^{' results/bench_replicas_nhc_r4.log | tail -1)"
+commit_results "results: banded 32k + NHC replica bench logs (r4)"
 
-echo "=== [4] TIP3P NHC ROLLOUT (faulted twice in r3 on worker errors) $(date)"
-CKPT=$(ls model_ckpt_tip3p_r3/checkpoint_*.msgpack | sort -V | tail -1)
-timeout 2400 python scripts/analyze_rollout.py --system tip3p --ckpt "$CKPT" \
-  --data_dir md_dataset/water_data --steps 25000 --integrator nose_hoover \
-  --classical_baseline --json_out /tmp/tip3p_r4_rdf_nhc.json
-echo "step4 rc=$?"
+echo "=== [4] DATASETS (regenerate any wiped) $(date)"
+ensure_dataset lj md_dataset/lj_data
+ensure_dataset tip3p md_dataset/water_data
+ensure_dataset tip4p md_dataset/tip4p_data --dispatch_frames 50
+if [ ! -f md_dataset/RPBE-surrogate.npz ]; then
+  timeout 3000 python scripts/generate_data.py --system rpbe \
+    --out md_dataset/RPBE-surrogate.npz --frames 1000 > results/gen_rpbe_r4.log 2>&1
+  echo "gen rpbe rc=$?"
+  commit_results "results: RPBE surrogate generation log (r4)"
+fi
 
-echo "=== [5] DFT f25 1e5-STEP STABILITY (killed at r3 round end) $(date)"
-CKD=$(ls model_ckpt_dft_r3/checkpoint_*.msgpack | sort -V | tail -1)
-timeout 1800 python scripts/run_md.py --system dft --ckpt "$CKD" \
-  --integrator langevin --friction 25.0 --steps 100000 \
-  --log /tmp/log_nvt_dft_r4_f25.txt
-echo "step5 rc=$?"
-
-echo "=== [6] LJ TRAIN b1x30 HIGHEST PRECISION (VERDICT #5) $(date)"
+echo "=== [5] LJ TRAIN b1x30 HIGHEST PRECISION (VERDICT #5) $(date)"
 time timeout 10800 python scripts/train_gamd.py --system lj --batch_size 1 \
   --max_epoch 30 --use_layer_norm --precompute_nbrs \
   --matmul_precision highest \
-  --cp_dir ./model_ckpt_lj_r4 > /tmp/lj_train_r4.log 2>&1
-echo "step6 rc=$?"
-CKL=$(ls model_ckpt_lj_r4/checkpoint_*.msgpack 2>/dev/null | sort -V | tail -1)
+  --cp_dir ./model_ckpt_lj_r4 > results/lj_train_r4.log 2>&1
+echo "step5 rc=$?"
+CKL=$(latest_ckpt model_ckpt_lj_r4 "")
 if [ -n "$CKL" ]; then
+  cp "$CKL" results/ckpts/lj_final.msgpack
+  cp model_ckpt_lj_r4/scaler_*.npz results/ckpts/ 2>/dev/null
   timeout 1200 python scripts/evaluate.py --system lj --ckpt "$CKL" \
-    --data_dir md_dataset/lj_data --json_out /tmp/lj_r4_eval.json
-  echo "step6b rc=$?"
+    --data_dir md_dataset/lj_data --json_out results/lj_eval_r4.json \
+    > results/lj_eval_r4.log 2>&1
+  echo "step5b rc=$? $(head -c 200 results/lj_eval_r4.json 2>/dev/null)"
+  commit_results "results: LJ highest-precision b1x30 training + eval (r4)"
+  timeout 2400 python scripts/analyze_rollout.py --system lj --ckpt "$CKL" \
+    --data_dir md_dataset/lj_data --steps 25000 --integrator nose_hoover \
+    --classical_baseline --json_out results/lj_rdf_r4.json \
+    > results/lj_rdf_r4.log 2>&1
+  echo "step5c rc=$? $(head -c 200 results/lj_rdf_r4.json 2>/dev/null)"
+  commit_results "results: LJ 25k-step NHC rollout RDF A/B (r4)"
 fi
 
-echo "=== [7] TIP3P TRAIN b1x60 EXTENDED ANNEAL $(date)"
+echo "=== [6] TIP3P TRAIN b1x60 EXTENDED ANNEAL $(date)"
 time timeout 14400 python scripts/train_gamd.py --system tip3p --batch_size 1 \
   --max_epoch 60 --use_layer_norm --precompute_nbrs \
-  --cp_dir ./model_ckpt_tip3p_r4 > /tmp/t3_train_r4.log 2>&1
-echo "step7 rc=$?"
-CK3=$(ls model_ckpt_tip3p_r4/checkpoint_*.msgpack 2>/dev/null | sort -V | tail -1)
+  --cp_dir ./model_ckpt_tip3p_r4 > results/tip3p_train_r4.log 2>&1
+echo "step6 rc=$?"
+CK3=$(latest_ckpt model_ckpt_tip3p_r4 results/ckpts/tip3p_final.msgpack)
 if [ -n "$CK3" ]; then
+  cp "$CK3" results/ckpts/tip3p_final.msgpack 2>/dev/null
+  cp model_ckpt_tip3p_r4/scaler_*.npz results/ckpts/ 2>/dev/null
   timeout 1500 python scripts/evaluate.py --system tip3p --ckpt "$CK3" \
-    --data_dir md_dataset/water_data --json_out /tmp/tip3p_r4_eval.json
-  echo "step7b rc=$?"
+    --data_dir md_dataset/water_data --json_out results/tip3p_eval_r4.json \
+    > results/tip3p_eval_r4.log 2>&1
+  echo "step6b rc=$? $(head -c 200 results/tip3p_eval_r4.json 2>/dev/null)"
+  commit_results "results: TIP3P b1x60 training + eval (r4)"
   timeout 3600 python scripts/analyze_rollout.py --system tip3p --ckpt "$CK3" \
     --data_dir md_dataset/water_data --steps 25000 --integrator langevin \
     --friction 25.0 --classical_baseline \
-    --json_out /tmp/tip3p_r4_rdf_f25.json
-  echo "step7c rc=$?"
+    --json_out results/tip3p_rdf_f25_r4.json > results/tip3p_rdf_r4.log 2>&1
+  echo "step6c rc=$? $(head -c 200 results/tip3p_rdf_f25_r4.json 2>/dev/null)"
+  commit_results "results: TIP3P 25k-step f25 rollout RDF A/B (r4)"
+  timeout 2400 python scripts/analyze_rollout.py --system tip3p --ckpt "$CK3" \
+    --data_dir md_dataset/water_data --steps 25000 --integrator nose_hoover \
+    --classical_baseline --json_out results/tip3p_rdf_nhc_r4.json \
+    > results/tip3p_rdf_nhc_r4.log 2>&1
+  echo "step6d rc=$? $(head -c 200 results/tip3p_rdf_nhc_r4.json 2>/dev/null)"
+  commit_results "results: TIP3P 25k-step NHC rollout RDF A/B (r4, retried)"
 fi
 
-echo "=== [8] TIP4P TRAIN b1x60 EXTENDED ANNEAL $(date)"
+echo "=== [7] TIP4P TRAIN b1x60 EXTENDED ANNEAL $(date)"
 time timeout 14400 python scripts/train_gamd.py --system tip4p --batch_size 1 \
   --max_epoch 60 --use_layer_norm --precompute_nbrs \
-  --cp_dir ./model_ckpt_tip4p_r4 > /tmp/t4_train_r4.log 2>&1
-echo "step8 rc=$?"
-CK4=$(ls model_ckpt_tip4p_r4/checkpoint_*.msgpack 2>/dev/null | sort -V | tail -1)
+  --cp_dir ./model_ckpt_tip4p_r4 > results/tip4p_train_r4.log 2>&1
+echo "step7 rc=$?"
+CK4=$(latest_ckpt model_ckpt_tip4p_r4 "")
 if [ -n "$CK4" ]; then
+  cp "$CK4" results/ckpts/tip4p_final.msgpack
+  cp model_ckpt_tip4p_r4/scaler_*.npz results/ckpts/ 2>/dev/null
   timeout 1500 python scripts/evaluate.py --system tip4p --ckpt "$CK4" \
-    --data_dir md_dataset/tip4p_data --json_out /tmp/tip4p_r4_eval.json
-  echo "step8b rc=$?"
+    --data_dir md_dataset/tip4p_data --json_out results/tip4p_eval_r4.json \
+    > results/tip4p_eval_r4.log 2>&1
+  echo "step7b rc=$? $(head -c 200 results/tip4p_eval_r4.json 2>/dev/null)"
+  commit_results "results: TIP4P-Ew b1x60 training + eval (r4)"
+fi
+
+echo "=== [8] DFT chain (only if session r3d didn't commit it) $(date)"
+if [ ! -f results/dft_eval.json ]; then
+  time timeout 4200 python scripts/train_gamd.py --system dft \
+    --data_dir md_dataset/RPBE-surrogate.npz --batch_size 1 --max_epoch 30 \
+    --lr 1e-4 --use_layer_norm --cp_dir ./model_ckpt_dft_r4 \
+    > results/dft_train_r4.log 2>&1
+  CKD=$(latest_ckpt model_ckpt_dft_r4 results/ckpts/dft_final.msgpack)
+  if [ -n "$CKD" ]; then
+    cp "$CKD" results/ckpts/dft_final.msgpack 2>/dev/null
+    timeout 1800 python scripts/evaluate.py --system dft --ckpt "$CKD" \
+      --data_dir md_dataset/RPBE-surrogate.npz \
+      --json_out results/dft_eval.json > results/dft_eval_r4.log 2>&1
+    commit_results "results: DFT-surrogate training + eval (r4)"
+    timeout 1800 python scripts/run_md.py --system dft --ckpt "$CKD" \
+      --integrator langevin --friction 25.0 --steps 100000 \
+      --log results/log_nvt_dft_f25.txt > results/dft_md_r4.log 2>&1
+    commit_results "results: DFT 1e5-step f25 stability rollout log (r4)"
+  fi
 fi
 
 echo "=== QUEUE R4 DONE $(date)"
