@@ -90,9 +90,22 @@ if [ ! -f md_dataset/RPBE-surrogate.npz ]; then
 fi
 
 echo "=== [5] LJ TRAIN b1x30 HIGHEST PRECISION (VERDICT #5) $(date)"
+# Resume from the r3e session's committed checkpoint if one exists
+# (results/ckpts/lj_highest_PROVENANCE.txt holds the original
+# model_ckpt_lj_r3e/checkpoint_{epoch}.msgpack path — epoch parses from it).
+# Generation is seed-deterministic, so the regenerated dataset matches the
+# one the checkpoint was trained on.
+RESUME_ARGS=""
+if [ -f results/ckpts/lj_highest_latest.msgpack ] && [ -f results/ckpts/lj_highest_PROVENANCE.txt ]; then
+  EP=$(grep -o 'checkpoint_[0-9]*' results/ckpts/lj_highest_PROVENANCE.txt | grep -o '[0-9]*')
+  if [ -n "$EP" ]; then
+    RESUME_ARGS="--state_ckpt_dir results/ckpts/lj_highest_latest.msgpack --start_epoch $((EP + 1))"
+    echo "resuming LJ highest train from epoch $((EP + 1))"
+  fi
+fi
 time timeout 10800 python scripts/train_gamd.py --system lj --batch_size 1 \
   --max_epoch 30 --use_layer_norm --precompute_nbrs \
-  --matmul_precision highest \
+  --matmul_precision highest $RESUME_ARGS \
   --cp_dir ./model_ckpt_lj_r4 > results/lj_train_r4.log 2>&1
 echo "step5 rc=$?"
 CKL=$(latest_ckpt model_ckpt_lj_r4 "")
