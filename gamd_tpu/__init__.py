@@ -21,3 +21,36 @@ parallel   device-mesh helpers, data parallelism, spatial sharding
 """
 
 __version__ = "0.1.0"
+
+
+def _enable_persistent_compile_cache():
+    """Point JAX's persistent compilation cache at a repo-local directory.
+
+    The tile-136 megastep kernel compiles in ~20 minutes on the tunneled
+    backend and nothing persisted it: every bench/train/rollout process paid
+    the full compile. The cache directory defaults to results/xla_cache
+    (committed alongside evidence logs, so compiled executables survive the
+    session-boundary wipe of untracked artifacts) and is overridable or
+    disabled via GAMD_XLA_CACHE (set to "0"/"off" to disable).
+    """
+    import os
+
+    target = os.environ.get("GAMD_XLA_CACHE")
+    if target in ("0", "off", "none"):
+        return
+    if not target:
+        target = os.path.join(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))), "results", "xla_cache")
+    try:
+        import jax
+
+        os.makedirs(target, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", target)
+        # Cache everything that took meaningful compile time; the default
+        # (1 s) already covers the megastep, but be explicit.
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:  # cache is an optimization — never block import
+        pass
+
+
+_enable_persistent_compile_cache()
