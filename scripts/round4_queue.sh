@@ -46,18 +46,12 @@ latest_ckpt() {  # latest_ckpt <cp_dir> <committed_fallback>
   [ -f "$2" ] && echo "$2"
 }
 
-echo "=== [0] BENCH_MXU truth run (carry-threaded loop + calibration) $(date)"
-timeout 2400 python scripts/bench_mxu.py --iters 200 > results/bench_mxu_r4.log 2>&1
-echo "step0 rc=$? $(grep calibration results/bench_mxu_r4.log)"
-timeout 1500 python scripts/bench_mxu.py --iters 200 --tile_n 136 \
-  > results/bench_mxu_r4_t136.log 2>&1
-echo "step0b rc=$? (tile 136 = production bench tile)"
-commit_results "results: bench_mxu truth-run logs (SOL stage decomposition)"
-
-echo "=== [0c] NHC-megastep scalar-exp lowering probe $(date)"
-timeout 1200 python scripts/probe_nhc_kernel.py > results/probe_nhc_kernel.log 2>&1
-echo "step0c rc=$? $(tail -1 results/probe_nhc_kernel.log)"
-commit_results "results: NHC in-kernel scalar-update lowering probe"
+# [0] bench_mxu truth run: DROPPED — superseded by the ablation
+# decomposition, re-executed and committed in session r3e
+# (results/bench_ablate_r3e.log; RESULTS.md "Session r3e").
+# [0c] NHC probe: DONE in r3e (results/probe_nhc_kernel_r3e.log) —
+# verdict: NHC megastep rejected, chain math costs more in-kernel than it
+# saves (PLAN.md design note).
 
 echo "=== [1] CHECK_KERNELS $(date)"
 timeout 1200 python scripts/check_kernels.py > results/check_kernels_r4.log 2>&1
@@ -69,13 +63,17 @@ timeout 2400 python bench.py > results/bench_r4.log 2>&1
 echo "step2 rc=$? $(tail -n 1 results/bench_r4.log)"
 commit_results "results: headline bench log (r4)"
 
-echo "=== [3] BANDED N=32768 + NHC replica bench $(date)"
-timeout 1800 python scripts/bench_large.py --sizes 1000 --gnn_size 0 \
-  --gnn_banded_sizes 32768 > results/bench_banded_32k_r4.log 2>&1
-echo "step3 rc=$? $(grep '^{' results/bench_banded_32k_r4.log | tail -1)"
-timeout 1800 bash -c 'GAMD_BENCH_INTEGRATOR=nose_hoover python scripts/bench_replicas.py 8 500' \
-  > results/bench_replicas_nhc_r4.log 2>&1
-echo "step3b rc=$? $(grep '^{' results/bench_replicas_nhc_r4.log | tail -1)"
+echo "=== [3] BANDED N=32768 + NHC replica bench (skip if r3e committed them) $(date)"
+if ! grep -q '"atoms": 32768' results/bench_banded_32k_r3e.log 2>/dev/null; then
+  timeout 1800 python scripts/bench_large.py --sizes 1000 --gnn_size 0 \
+    --gnn_banded_sizes 32768 > results/bench_banded_32k_r4.log 2>&1
+  echo "step3 rc=$? $(grep '^{' results/bench_banded_32k_r4.log | tail -1)"
+fi
+if ! grep -q '^{' results/bench_replicas_nhc_r3e.log 2>/dev/null; then
+  timeout 1800 bash -c 'GAMD_BENCH_INTEGRATOR=nose_hoover python scripts/bench_replicas.py 8 500' \
+    > results/bench_replicas_nhc_r4.log 2>&1
+  echo "step3b rc=$? $(grep '^{' results/bench_replicas_nhc_r4.log | tail -1)"
+fi
 commit_results "results: banded 32k + NHC replica bench logs (r4)"
 
 echo "=== [4] DATASETS (regenerate any wiped) $(date)"
