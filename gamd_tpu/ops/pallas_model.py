@@ -827,7 +827,7 @@ def mega_md_steps(pos, vel, force, idx, build_mask, h0, mp: MegaParams,
             jax.ShapeDtypeStruct((r, n_rows_t, 128), jnp.float32),
             jax.ShapeDtypeStruct((r * n_steps,), jnp.float32),
         ],
-        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 2**20),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=112 * 2**20),
         interpret=interpret,
     )(scalars, seeds, pos_cols, vel_cols, f_cols,
       idx.astype(jnp.int32).reshape(r * rows_total, 1), bmask,
@@ -947,8 +947,10 @@ def mega_forward(pos, idx, build_mask, h0, mp: MegaParams, box, cutoff,
         out_shape=jax.ShapeDtypeStruct((r, n_rows_t, 128), jnp.float32),
         # Some shapes (bench_mxu's full-forward at K=64) spill ~1 MB past
         # Mosaic's default 16 MB scoped-VMEM stack cap; the v5e has 128 MB
-        # of VMEM, so raise the scoped limit well clear of it.
-        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 2**20),
+        # of VMEM, so raise the scoped limit well clear of it. 112 MB (not
+        # 100): the 8-replica NHC forward at tile_n=136 needs 100.31 MB
+        # (r3e replica bench compile failure).
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=112 * 2**20),
         interpret=interpret,
     )(scalars, pos_pk,
       idx.astype(jnp.int32).reshape(r * rows_total, 1), bmask,
