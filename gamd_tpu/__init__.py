@@ -28,10 +28,13 @@ def _enable_persistent_compile_cache():
 
     The tile-136 megastep kernel compiles in ~20 minutes on the tunneled
     backend and nothing persisted it: every bench/train/rollout process paid
-    the full compile. The cache directory defaults to results/xla_cache
-    (committed alongside evidence logs, so compiled executables survive the
-    session-boundary wipe of untracked artifacts) and is overridable or
-    disabled via GAMD_XLA_CACHE (set to "0"/"off" to disable).
+    the full compile. The cache directory defaults to results/xla_cache.
+    NOTE: the directory is git-ignored (compiled executables grow to
+    hundreds of MB), so the cache persists across PROCESSES within a
+    session but NOT across session-boundary wipes. Overridable or disabled
+    via GAMD_XLA_CACHE (set to "0"/"off" to disable). If the embedding
+    process already configured jax_compilation_cache_dir, it is respected
+    and this helper does nothing.
     """
     import os
 
@@ -44,6 +47,8 @@ def _enable_persistent_compile_cache():
     try:
         import jax
 
+        if getattr(jax.config, "jax_compilation_cache_dir", None):
+            return  # respect a cache dir the embedding process already set
         os.makedirs(target, exist_ok=True)
         jax.config.update("jax_compilation_cache_dir", target)
         # Cache everything that took meaningful compile time; the default

@@ -110,6 +110,19 @@ def main():
     rel_mae = mae / np.linalg.norm(flat_g, axis=1).mean()
     rel_mae_comp = mae / np.abs(flat_g).mean()
     ratio = np.abs(err.reshape(-1)) / (np.abs(flat_p.reshape(-1)) + 1e-8)
+    # Cosine-gap diagnosis (round-4 VERDICT #3): slice cosine and MAE by
+    # ground-truth force magnitude decile. A model whose MAE beats the
+    # reference but whose mean cosine lags is making angular errors on
+    # SMALL forces; the decile profile shows where.
+    gnorm = np.linalg.norm(flat_g, axis=1)
+    deciles = np.quantile(gnorm, np.linspace(0, 1, 11))
+    cos_by_decile, mae_by_decile, edge_lo = [], [], []
+    for d in range(10):
+        lo, hi = deciles[d], deciles[d + 1]
+        sel = (gnorm >= lo) & (gnorm <= hi if d == 9 else gnorm < hi)
+        cos_by_decile.append(float(cos[sel].mean()))
+        mae_by_decile.append(float(np.abs(err[sel]).mean()))
+        edge_lo.append(float(lo))
     metrics = {
         "frames": int(n),
         "force_cosine_similarity": float(cos.mean()),
@@ -120,6 +133,10 @@ def main():
         "outlier_ratio": float((ratio > 10.0).mean()),
         "per_sample_mae_std": float(
             np.abs(pred - gt).mean(axis=(1, 2)).std()),
+        "cosine_by_gt_magnitude_decile": cos_by_decile,
+        "mae_by_gt_magnitude_decile": mae_by_decile,
+        "gt_magnitude_decile_edges_ev_a": edge_lo,
+        "gt_force_norm_median_ev_a": float(np.median(gnorm)),
     }
     for k, v in metrics.items():
         print(f"{k}: {v}")

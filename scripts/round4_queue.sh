@@ -94,19 +94,27 @@ echo "=== [5] LJ TRAIN b1x30 HIGHEST PRECISION (VERDICT #5) $(date)"
 # Generation is seed-deterministic, so the regenerated dataset matches the
 # one the checkpoint was trained on.
 RESUME_ARGS=""
+LJ_TRAIN_DONE=0
 if [ -f results/ckpts/lj_highest_latest.msgpack ] && [ -f results/ckpts/lj_highest_PROVENANCE.txt ]; then
   EP=$(grep -o 'checkpoint_[0-9]*' results/ckpts/lj_highest_PROVENANCE.txt | grep -o '[0-9]*')
-  if [ -n "$EP" ]; then
+  if [ -n "$EP" ] && [ $((EP + 1)) -ge 30 ]; then
+    # Training already completed in r3e — skip the zero-epoch train run and
+    # evaluate/roll out directly from the committed checkpoint.
+    LJ_TRAIN_DONE=1
+    echo "LJ highest train complete (checkpoint_$EP committed); skipping train"
+  elif [ -n "$EP" ]; then
     RESUME_ARGS="--state_ckpt_dir results/ckpts/lj_highest_latest.msgpack --start_epoch $((EP + 1))"
     echo "resuming LJ highest train from epoch $((EP + 1))"
   fi
 fi
-time timeout 10800 python scripts/train_gamd.py --system lj --batch_size 1 \
-  --max_epoch 30 --use_layer_norm --precompute_nbrs \
-  --matmul_precision highest $RESUME_ARGS \
-  --cp_dir ./model_ckpt_lj_r4 > results/lj_train_r4.log 2>&1
-echo "step5 rc=$?"
-CKL=$(latest_ckpt model_ckpt_lj_r4 "")
+if [ "$LJ_TRAIN_DONE" = "0" ]; then
+  time timeout 10800 python scripts/train_gamd.py --system lj --batch_size 1 \
+    --max_epoch 30 --use_layer_norm --precompute_nbrs \
+    --matmul_precision highest $RESUME_ARGS \
+    --cp_dir ./model_ckpt_lj_r4 > results/lj_train_r4.log 2>&1
+  echo "step5 rc=$?"
+fi
+CKL=$(latest_ckpt model_ckpt_lj_r4 results/ckpts/lj_highest_latest.msgpack)
 if [ -n "$CKL" ]; then
   cp "$CKL" results/ckpts/lj_final.msgpack
   cp model_ckpt_lj_r4/scaler_*.npz results/ckpts/ 2>/dev/null
