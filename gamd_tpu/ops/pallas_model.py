@@ -301,7 +301,8 @@ def _forward_body(scalars_ref, pos_pk_ref, idx_ref, bmask_ref,
                   tile_n: int, k: int, n_pad: int, n_tiles: int, n_rows: int,
                   n_layers: int, d: int, flip_dir: bool, use_ln: bool,
                   conv_act: str, mlp_act: str, f32_edges: bool,
-                  oh_scr=None, ablate: frozenset = frozenset()):
+                  oh_scr=None, ablate: frozenset = frozenset(),
+                  unroll_tiles: bool = False):
     """Whole-model forward over refs/scratch already in VMEM. Shared by the
     single-shot megakernel and the multi-step MD kernel.
 
@@ -328,6 +329,20 @@ def _forward_body(scalars_ref, pos_pk_ref, idx_ref, bmask_ref,
     """
     rows = tile_n * k
     bf = jnp.bfloat16
+
+    def loop_tiles(body):
+        # Static unroll gives Mosaic's list scheduler independent per-tile
+        # op chains to interleave (tile A's VPU activations overlap tile
+        # B's MXU dots); the tiles write disjoint static scratch regions,
+        # so the scheduler can prove independence. fori_loop serializes
+        # iterations — measured as the MXU<->VPU dependency stalls behind
+        # the theta chain's 32%-of-floor stage time (bench_ablate r3e).
+        if unroll_tiles:
+            for t in range(n_tiles):
+                body(t, 0)
+        else:
+            jax.lax.fori_loop(0, n_tiles, body, 0)
+
     box = scalars_ref[0]
     cutoff2 = scalars_ref[1]
     length_mean = scalars_ref[2]
@@ -352,11 +367,16 @@ def _forward_body(scalars_ref, pos_pk_ref, idx_ref, bmask_ref,
         # ~K x the FLOPs, stays bf16).
         return jnp.dot(a, w, preferred_element_type=jnp.float32)
 
+    def _mo(v, m):
+        # pl.multiple_of only wraps traced values; unrolled tiles use
+        # static python ints directly.
+        return v if isinstance(v, int) else pl.multiple_of(v, m)
+
     # ---- encoder: per tile, featurize + MLP + LN into e_scr -------------
     def enc_tile(t, _):
-        r0 = pl.multiple_of(t * rows, rows)          # local (scratch) rows
-        rg = pl.multiple_of(row_base + t * rows, rows)   # global input rows
-        a0 = pl.multiple_of(t * tile_n, tile_n)
+        r0 = _mo(t * rows, rows)                     # local (scratch) rows
+        rg = _mo(row_base + t * rows, rows)          # global input rows
+        a0 = _mo(t * tile_n, tile_n)
         if "gather_pos" in ablate:
             g = jnp.broadcast_to(
                 pos_pk_ref[0:1, :].astype(jnp.float32), (rows, 128))
@@ -416,7 +436,7 @@ def _forward_body(scalars_ref, pos_pk_ref, idx_ref, bmask_ref,
         e_scr[pl.ds(r0, rows), :] = z.astype(bf)
         return 0
 
-    jax.lax.fori_loop(0, n_tiles, enc_tile, 0)
+    loop_tiles(enc_tile)
 
     h_scr[:, :] = h0_ref[pl.ds(atom_base, n_rows), :]
     nhilo_scr[:, :] = jnp.zeros_like(nhilo_scr)
@@ -453,9 +473,9 @@ def _forward_body(scalars_ref, pos_pk_ref, idx_ref, bmask_ref,
                                         ).astype(bf)
 
         def conv_tile(t, _):
-            r0 = pl.multiple_of(t * rows, rows)
-            rg = pl.multiple_of(row_base + t * rows, rows)
-            a0 = pl.multiple_of(t * tile_n, tile_n)
+            r0 = _mo(t * rows, rows)
+            rg = _mo(row_base + t * rows, rows)
+            a0 = _mo(t * tile_n, tile_n)
             if "gather_conv" in ablate:
                 g2 = jnp.broadcast_to(
                     nhilo_scr[0:1, :].astype(jnp.float32), (rows, 2 * d))
@@ -514,7 +534,7 @@ def _forward_body(scalars_ref, pos_pk_ref, idx_ref, bmask_ref,
                     msg.reshape(tile_n, k, d), axis=1)
             return 0
 
-        jax.lax.fori_loop(0, n_tiles, conv_tile, 0)
+        loop_tiles(conv_tile)
         agg = agg_scr[:, :]
         if "nodeops" in ablate:
             h_scr[:, :] = h + cact(hn + agg)
@@ -540,6 +560,19 @@ def _forward_body(scalars_ref, pos_pk_ref, idx_ref, bmask_ref,
 #: iota-compare rebuilds with VMEM reads.
 _OH_CACHE_BYTES = 24 * 2**20
 
+#: Static tile-loop unroll (see _forward_body.loop_tiles). Opt-in via
+#: GAMD_UNROLL_TILES=1 until the on-chip A/B lands; never auto-unrolls past
+#: _UNROLL_TILES_MAX tiles (code size).
+_UNROLL_TILES_MAX = 4
+
+
+def _resolve_unroll(n_tiles: int) -> bool:
+    import os
+    env = os.environ.get("GAMD_UNROLL_TILES")
+    if env is not None and env != "":
+        return env not in ("0", "off", "false") and n_tiles <= _UNROLL_TILES_MAX
+    return False
+
 
 def _fill_onehot(oh_scr, idx_ref, row_base, n_tiles, rows, n_pad):
     """Build the per-tile one-hot gather matrices into VMEM once."""
@@ -560,7 +593,7 @@ def _mega_kernel(scalars_ref, pos_pk_ref, idx_ref, bmask_ref,
                  tile_n: int, k: int, n_pad: int, n_tiles: int, n_rows: int,
                  n_layers: int, d: int, flip_dir: bool, use_ln: bool,
                  conv_act: str, mlp_act: str, f32_edges: bool,
-                 cache_onehot: bool):
+                 cache_onehot: bool, unroll_tiles: bool = False):
     """Single forward pass (grid = replicas). See _forward_body."""
     n_scr = 7 if cache_onehot else 6
     weights = rest[:-(1 + n_scr)]
@@ -579,7 +612,7 @@ def _mega_kernel(scalars_ref, pos_pk_ref, idx_ref, bmask_ref,
         tile_n=tile_n, k=k, n_pad=n_pad, n_tiles=n_tiles, n_rows=n_rows,
         n_layers=n_layers, d=d, flip_dir=flip_dir, use_ln=use_ln,
         conv_act=conv_act, mlp_act=mlp_act, f32_edges=f32_edges,
-        oh_scr=oh_scr)
+        oh_scr=oh_scr, unroll_tiles=unroll_tiles)
 
 
 def _mega_md_kernel(scalars_ref, seeds_ref, pos0_ref, vel0_ref, f0_ref,
@@ -589,7 +622,8 @@ def _mega_md_kernel(scalars_ref, seeds_ref, pos0_ref, vel0_ref, f0_ref,
                     n_tiles: int, n_rows: int, n_layers: int, d: int,
                     flip_dir: bool, use_ln: bool, conv_act: str,
                     mlp_act: str, f32_edges: bool, interpret_rng: bool,
-                    cache_onehot: bool, ablate: frozenset = frozenset()):
+                    cache_onehot: bool, ablate: frozenset = frozenset(),
+                    unroll_tiles: bool = False):
     """n_steps of BAOAB Langevin MD with the GNN forward run ENTIRELY in
     one kernel invocation: positions, velocities, and the edge stream stay
     VMEM-resident across the whole neighbor-reuse window, and thermostat
@@ -650,7 +684,7 @@ def _mega_md_kernel(scalars_ref, seeds_ref, pos0_ref, vel0_ref, f0_ref,
             tile_n=tile_n, k=k, n_pad=n_pad, n_tiles=n_tiles, n_rows=n_rows,
             n_layers=n_layers, d=d, flip_dir=flip_dir, use_ln=use_ln,
             conv_act=conv_act, mlp_act=mlp_act, f32_edges=f32_edges,
-            oh_scr=oh_scr, ablate=ablate)
+            oh_scr=oh_scr, ablate=ablate, unroll_tiles=unroll_tiles)
 
     def hash_bits(s, tag):
         # interpret-mode stand-in for the on-core PRNG (which has no CPU
@@ -794,7 +828,8 @@ def mega_md_steps(pos, vel, force, idx, build_mask, h0, mp: MegaParams,
         n_tiles=n_tiles, n_rows=n_rows_t, n_layers=mp.w_src.shape[0], d=d,
         flip_dir=flip_dir, use_ln=use_ln, conv_act=conv_act,
         mlp_act=mlp_act, f32_edges=f32_edges, interpret_rng=interpret,
-        cache_onehot=cache_onehot, ablate=frozenset(ablate))
+        cache_onehot=cache_onehot, ablate=frozenset(ablate),
+        unroll_tiles=_resolve_unroll(n_tiles))
 
     full = lambda: pl.BlockSpec(memory_space=pltpu.VMEM)
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -917,7 +952,8 @@ def mega_forward(pos, idx, build_mask, h0, mp: MegaParams, box, cutoff,
         _mega_kernel, tile_n=tile_n, k=k, n_pad=n_pad, n_tiles=n_tiles,
         n_rows=n_rows_t, n_layers=mp.w_src.shape[0], d=d, flip_dir=flip_dir,
         use_ln=use_ln, conv_act=conv_act, mlp_act=mlp_act,
-        f32_edges=f32_edges, cache_onehot=cache_onehot)
+        f32_edges=f32_edges, cache_onehot=cache_onehot,
+        unroll_tiles=_resolve_unroll(n_tiles))
 
     # All tensor refs ride into VMEM whole (with their replica axis); the
     # kernel wrapper slices the current grid step's replica with a dynamic

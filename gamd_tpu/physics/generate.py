@@ -184,13 +184,18 @@ def generate_lj_dataset(out_dir, seeds=10, frames_per_seed=1000,
 def generate_water_dataset(out_dir, seeds=10, frames_per_seed=1000,
                            record_interval=50, n_molecules=258,
                            minimize_steps=3000, dt_fs=None, rigid=True,
-                           log_every_frames=250, frames_per_dispatch=250):
+                           log_every_frames=250, frames_per_dispatch=250,
+                           electrostatics="ewald"):
     """TIP3P water ground truth in the reference layout
     (reference: /root/reference/dataset/generate_tip3p_data.py: WaterBox
     2 nm, T = 300 K, friction 1/ps, NHC chain 10/5/5, 1000 frames x 50
     steps, RIGID water at dt = 2 fs). rigid=True reproduces that protocol
     with SETTLE constraints; rigid=False is the flexible variant
-    (dt 0.5 fs)."""
+    (dt 0.5 fs). electrostatics="ewald" (default) matches the reference's
+    PME WaterBox protocol via the first-party full Ewald sum
+    (physics/ewald.py); "dsf" keeps the rounds-1-3 damped-shifted-force
+    truncated potential."""
+    from gamd_tpu.physics import ewald as _ewald
     from gamd_tpu.physics import water as w
 
     os.makedirs(out_dir, exist_ok=True)
@@ -211,13 +216,23 @@ def generate_water_dataset(out_dir, seeds=10, frames_per_seed=1000,
     # away). Ensemble-equivalent protocol deviation, noted in RESULTS.md.
     md = MDConfig(integrator="langevin", temperature=300.0, dt_fs=dt_fs,
                   friction_per_ps=2.0, rebuild_every=10)
-    force_fn = w.tip3p_force_fn(box, params, rigid=rigid)
+    force_fn = w.tip3p_force_fn(box, params, rigid=rigid,
+                                electrostatics=electrostatics)
     sim = Simulation(force_fn, system, md, constraint=constraint)
-    fwd = w.tip3p_forces_rigid if rigid else w.tip3p_forces
-    record_force = jax.jit(lambda p: fwd(p, box, params))
-    # Minimize with the FLEXIBLE potential (the rigid one has no
-    # intramolecular restoring force), then snap onto the constraints.
-    minimize_force = jax.jit(lambda p: w.tip3p_forces(p, box, params))
+    if electrostatics == "ewald":
+        ew = _ewald.make_ewald_params(box)
+        rec_energy = (w.tip3p_energy_rigid_ewald if rigid
+                      else w.tip3p_energy_ewald)
+        record_force = jax.jit(
+            lambda p: -jax.grad(rec_energy)(p, box, ew, params))
+        minimize_force = jax.jit(
+            lambda p: -jax.grad(w.tip3p_energy_ewald)(p, box, ew, params))
+    else:
+        fwd = w.tip3p_forces_rigid if rigid else w.tip3p_forces
+        record_force = jax.jit(lambda p: fwd(p, box, params))
+        # Minimize with the FLEXIBLE potential (the rigid one has no
+        # intramolecular restoring force), then snap onto the constraints.
+        minimize_force = jax.jit(lambda p: w.tip3p_forces(p, box, params))
 
     states = []
     for seed in range(seeds):
@@ -336,12 +351,15 @@ def generate_rpbe_surrogate(out_path, n_molecules=64, frames_per_box=1000,
 def generate_tip4p_dataset(out_dir, seeds=10, frames_per_seed=1000,
                            record_interval=50, n_molecules=251,
                            minimize_steps=3000, dt_fs=None, rigid=True,
-                           log_every_frames=250, frames_per_dispatch=250):
+                           log_every_frames=250, frames_per_dispatch=250,
+                           electrostatics="ewald"):
     """TIP4P-Ew ground truth in the reference's 4-site frame layout
     (reference: /root/reference/dataset/generate_tip4p_data.py: WaterBox
     model='tip4pew', 251 molecules, rigid, dt = 2 fs). Frames store O,H,H,M
     rows per molecule; the training loader drops the M rows
-    (train_utils.py:58-64)."""
+    (train_utils.py:58-64). electrostatics="ewald" (default) matches the
+    reference's PME protocol (see generate_water_dataset)."""
+    from gamd_tpu.physics import ewald as _ewald
     from gamd_tpu.physics import water as w
 
     os.makedirs(out_dir, exist_ok=True)
@@ -358,11 +376,21 @@ def generate_tip4p_dataset(out_dir, seeds=10, frames_per_seed=1000,
     # equivalent; pins T against residual f32 drift).
     md = MDConfig(integrator="langevin", temperature=300.0, dt_fs=dt_fs,
                   friction_per_ps=2.0, rebuild_every=10)
-    force_fn = w.tip4pew_force_fn(box, params, rigid=rigid)
+    force_fn = w.tip4pew_force_fn(box, params, rigid=rigid,
+                                  electrostatics=electrostatics)
     sim = Simulation(force_fn, system, md, constraint=constraint)
-    fwd = w.tip4pew_forces_rigid if rigid else w.tip4pew_forces
-    record_force = jax.jit(lambda p: fwd(p, box, params))
-    minimize_force = jax.jit(lambda p: w.tip4pew_forces(p, box, params))
+    if electrostatics == "ewald":
+        ew = _ewald.make_ewald_params(box)
+        rec_energy = (w.tip4pew_energy_rigid_ewald if rigid
+                      else w.tip4pew_energy_ewald)
+        record_force = jax.jit(
+            lambda p: -jax.grad(rec_energy)(p, box, ew, params))
+        minimize_force = jax.jit(
+            lambda p: -jax.grad(w.tip4pew_energy_ewald)(p, box, ew, params))
+    else:
+        fwd = w.tip4pew_forces_rigid if rigid else w.tip4pew_forces
+        record_force = jax.jit(lambda p: fwd(p, box, params))
+        minimize_force = jax.jit(lambda p: w.tip4pew_forces(p, box, params))
 
     def to_4site(p, v, f):
         pos4, f4 = w.expand_with_m_sites(p, f, box, params)

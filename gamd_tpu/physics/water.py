@@ -30,6 +30,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from gamd_tpu.core import space, units
+from gamd_tpu.physics import ewald as _ewald
 
 
 class TIP3PParams(NamedTuple):
@@ -52,9 +53,8 @@ def atom_charges(n_molecules, p: TIP3PParams):
     return jnp.tile(jnp.array([p.q_o, p.q_h, p.q_h]), n_molecules)
 
 
-def tip3p_energy(pos, box, params: TIP3PParams = TIP3PParams()):
-    """Total FLEXIBLE potential energy of an N = 3M atom box [kJ/mol]
-    (stiff harmonic bonds/angles + nonbonded)."""
+def _tip3p_intra_energy(pos, box, params: TIP3PParams):
+    """Harmonic bond + angle energy (the FLEXIBLE-variant intra terms)."""
     p = params
     o = pos[0::3]
     h1 = pos[1::3]
@@ -72,8 +72,14 @@ def tip3p_energy(pos, box, params: TIP3PParams = TIP3PParams()):
         jnp.linalg.norm(v1, axis=-1) * jnp.linalg.norm(v2, axis=-1), 1e-8)
     theta = jnp.arccos(jnp.clip(cos_t, -1 + 1e-7, 1 - 1e-7))
     e_angle = jnp.sum(p.k_angle * (theta - p.theta0) ** 2)
+    return e_bond + e_angle
 
-    return e_bond + e_angle + tip3p_energy_rigid(pos, box, params)
+
+def tip3p_energy(pos, box, params: TIP3PParams = TIP3PParams()):
+    """Total FLEXIBLE potential energy of an N = 3M atom box [kJ/mol]
+    (stiff harmonic bonds/angles + nonbonded)."""
+    return _tip3p_intra_energy(pos, box, params) \
+        + tip3p_energy_rigid(pos, box, params)
 
 
 def tip3p_energy_rigid(pos, box, params: TIP3PParams = TIP3PParams()):
@@ -114,6 +120,41 @@ def tip3p_energy_rigid(pos, box, params: TIP3PParams = TIP3PParams()):
     return e_lj + e_coul
 
 
+def tip3p_energy_rigid_ewald(pos, box, ew: _ewald.EwaldParams,
+                             params: TIP3PParams = TIP3PParams(),
+                             switch_width: float = 1.5):
+    """Nonbonded rigid-TIP3P energy under the REFERENCE PROTOCOL: full
+    Ewald electrostatics + switched LJ, matching the openmmtools WaterBox
+    defaults the reference generates data with (PME, cutoff 10 A, Ewald
+    error tolerance 1e-5, LJ switch width 1.5 A — reference:
+    /root/reference/dataset/generate_tip3p_data.py:55-57). The DSF variant
+    (tip3p_energy_rigid) truncates the lattice sum and is kept for
+    continuity with rounds 1-3 datasets."""
+    n = pos.shape[0]
+    assert n % 3 == 0
+    m = n // 3
+    p = params
+
+    # LJ on O-O, switched over [cutoff - w, cutoff].
+    o = pos[0::3]
+    d2_oo = space.pairwise_distance2(o, box) + jnp.eye(m) * 1e9
+    ok_oo = d2_oo < ew.cutoff**2
+    e_lj = _ewald.switched_lj_energy(d2_oo, ok_oo, p.sigma_o, p.eps_o,
+                                     ew.cutoff, switch_width)
+
+    q = atom_charges(m, p)
+    mol = jnp.arange(n) // 3
+    same_mol = mol[:, None] == mol[None, :]
+    return e_lj + _ewald.ewald_energy(pos, q, box, same_mol, ew)
+
+
+def tip3p_energy_ewald(pos, box, ew, params: TIP3PParams = TIP3PParams()):
+    """FLEXIBLE TIP3P under the reference protocol (harmonic intra terms +
+    Ewald nonbonded) — used only for minimization in generation."""
+    return _tip3p_intra_energy(pos, box, params) \
+        + tip3p_energy_rigid_ewald(pos, box, ew, params)
+
+
 def tip3p_forces(pos, box, params: TIP3PParams = TIP3PParams()):
     return -jax.grad(tip3p_energy)(pos, box, params)
 
@@ -123,9 +164,18 @@ def tip3p_forces_rigid(pos, box, params: TIP3PParams = TIP3PParams()):
 
 
 def tip3p_force_fn(box, params: TIP3PParams = TIP3PParams(),
-                   rigid: bool = False):
+                   rigid: bool = False, electrostatics: str = "dsf"):
     """Dense force closure for the Simulation driver (ignores the padded
-    neighbor list — at N<=774 the dense pair matrix is the fast path)."""
+    neighbor list — at N<=774 the dense pair matrix is the fast path).
+    electrostatics="ewald" selects the reference-protocol potential."""
+    if electrostatics == "ewald":
+        ew = _ewald.make_ewald_params(box)
+        energy = tip3p_energy_rigid_ewald if rigid else tip3p_energy_ewald
+
+        def force(pos, idx, mask):
+            del idx, mask
+            return -jax.grad(energy)(pos, box, ew, params)
+        return force
     fwd = tip3p_forces_rigid if rigid else tip3p_forces
 
     def force(pos, idx, mask):
@@ -258,6 +308,54 @@ def tip4pew_energy_rigid(pos, box, params: TIP4PEwParams = TIP4PEwParams()):
     return e_lj + e_coul
 
 
+def tip4pew_energy_rigid_ewald(pos, box, ew: _ewald.EwaldParams,
+                               params: TIP4PEwParams = TIP4PEwParams(),
+                               switch_width: float = 1.5):
+    """Rigid TIP4P-Ew under the reference protocol: full Ewald on the
+    derived M/H charge sites + switched O-O LJ (openmmtools WaterBox
+    model='tip4pew' defaults — reference: generate_tip4p_data.py:57).
+    Gradients redistribute M-site forces onto the real atoms (see
+    tip4pew_m_sites)."""
+    n = pos.shape[0]
+    assert n % 3 == 0
+    m = n // 3
+    p = params
+    o = pos[0::3]
+    h1 = pos[1::3]
+    h2 = pos[2::3]
+
+    d2_oo = space.pairwise_distance2(o, box) + jnp.eye(m) * 1e9
+    ok_oo = d2_oo < ew.cutoff**2
+    e_lj = _ewald.switched_lj_energy(d2_oo, ok_oo, p.sigma_o, p.eps_o,
+                                     ew.cutoff, switch_width)
+
+    msite = tip4pew_m_sites(o, h1, h2, box, p)
+    sites = jnp.stack([msite, h1, h2], axis=1).reshape(3 * m, 3)
+    q = jnp.tile(jnp.array([p.q_m, p.q_h, p.q_h]), m)
+    mol = jnp.arange(3 * m) // 3
+    same_mol = mol[:, None] == mol[None, :]
+    return e_lj + _ewald.ewald_energy(sites, q, box, same_mol, ew)
+
+
+def tip4pew_energy_ewald(pos, box, ew,
+                         params: TIP4PEwParams = TIP4PEwParams()):
+    """FLEXIBLE TIP4P-Ew under the reference protocol (minimization only)."""
+    p = params
+    o = pos[0::3]
+    h1 = pos[1::3]
+    h2 = pos[2::3]
+    d1 = jnp.sqrt(jnp.sum(space.min_image(h1 - o, box) ** 2, -1) + 1e-12)
+    d2 = jnp.sqrt(jnp.sum(space.min_image(h2 - o, box) ** 2, -1) + 1e-12)
+    e_bond = jnp.sum(p.k_bond * ((d1 - p.r_oh) ** 2 + (d2 - p.r_oh) ** 2))
+    v1 = space.min_image(h1 - o, box)
+    v2 = space.min_image(h2 - o, box)
+    cos_t = jnp.sum(v1 * v2, -1) / jnp.maximum(
+        jnp.linalg.norm(v1, axis=-1) * jnp.linalg.norm(v2, axis=-1), 1e-8)
+    theta = jnp.arccos(jnp.clip(cos_t, -1 + 1e-7, 1 - 1e-7))
+    e_angle = jnp.sum(p.k_angle * (theta - p.theta0) ** 2)
+    return e_bond + e_angle + tip4pew_energy_rigid_ewald(pos, box, ew, params)
+
+
 def tip4pew_forces(pos, box, params: TIP4PEwParams = TIP4PEwParams()):
     return -jax.grad(tip4pew_energy)(pos, box, params)
 
@@ -267,7 +365,15 @@ def tip4pew_forces_rigid(pos, box, params: TIP4PEwParams = TIP4PEwParams()):
 
 
 def tip4pew_force_fn(box, params: TIP4PEwParams = TIP4PEwParams(),
-                     rigid: bool = False):
+                     rigid: bool = False, electrostatics: str = "dsf"):
+    if electrostatics == "ewald":
+        ew = _ewald.make_ewald_params(box)
+        energy = tip4pew_energy_rigid_ewald if rigid else tip4pew_energy_ewald
+
+        def force(pos, idx, mask):
+            del idx, mask
+            return -jax.grad(energy)(pos, box, ew, params)
+        return force
     fwd = tip4pew_forces_rigid if rigid else tip4pew_forces
 
     def force(pos, idx, mask):

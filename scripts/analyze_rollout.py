@@ -65,6 +65,10 @@ def main():
                         help="also run a classical rollout of the same "
                              "length from the same start (apples-to-apples "
                              "RDF oracle with identical sampling)")
+    parser.add_argument("--electrostatics", default="ewald",
+                        choices=["ewald", "dsf"],
+                        help="water classical-baseline Coulomb treatment; "
+                             "must match how the dataset was generated")
     parser.add_argument("--json_out", default=None)
     parser.add_argument("--cpu", action="store_true",
                         help="force the CPU backend (the axon TPU plugin "
@@ -172,9 +176,11 @@ def main():
         else:
             from gamd_tpu.physics import water as w
             if args.system == "tip3p":
-                cl_force = w.tip3p_force_fn(system.box, rigid=args.rigid)
+                cl_force = w.tip3p_force_fn(system.box, rigid=args.rigid,
+                                            electrostatics=args.electrostatics)
             else:
-                cl_force = w.tip4pew_force_fn(system.box, rigid=args.rigid)
+                cl_force = w.tip4pew_force_fn(system.box, rigid=args.rigid,
+                                              electrostatics=args.electrostatics)
         sim_cl = Simulation(cl_force, system, md, constraint=constraint)
         st_cl = sim_cl.init_state(start_pos, rng=jax.random.PRNGKey(1))
         res_cl = sim_cl.run_segmented(st_cl, args.steps)

@@ -28,6 +28,11 @@ def main():
                              "dt 0.5 fs instead of rigid SETTLE at 2 fs")
     parser.add_argument("--dispatch_frames", default=250, type=int,
                         help="frames recorded per device program")
+    parser.add_argument("--electrostatics", default="ewald",
+                        choices=["ewald", "dsf"],
+                        help="water Coulomb treatment: full Ewald sum "
+                             "(reference PME protocol, default) or the "
+                             "rounds-1-3 damped-shifted-force cutoff")
     args = parser.parse_args()
 
     import jax
@@ -56,7 +61,8 @@ def main():
                                frames_per_seed=args.frames,
                                record_interval=args.interval,
                                rigid=not args.flexible,
-                               frames_per_dispatch=args.dispatch_frames)
+                               frames_per_dispatch=args.dispatch_frames,
+                               electrostatics=args.electrostatics)
     else:
         from gamd_tpu.physics.generate import generate_water_dataset
         generate_water_dataset(args.out, seeds=args.seeds,
@@ -64,7 +70,8 @@ def main():
                                record_interval=args.interval,
                                n_molecules=args.particles if args.particles != 258 else 258,
                                rigid=not args.flexible,
-                               frames_per_dispatch=args.dispatch_frames)
+                               frames_per_dispatch=args.dispatch_frames,
+                               electrostatics=args.electrostatics)
     print(f"Wrote {args.seeds * args.frames} frames to {args.out}")
 
 

@@ -1,0 +1,241 @@
+#!/usr/bin/env python
+"""On-chip probe: can any Mosaic-expressible gather beat the one-hot MXU dot?
+
+Round-4 VERDICT #1: ~91 us/step of the megakernel is one-hot gather
+IMPLEMENTATION FLOPs (conv gathers 52.1 + encoder gather 13.0 + post-gather
+src affine 26.1), not architecture math. This probe measures, on the real
+chip with the collapse-proof carry-accumulator methodology
+(RESULTS.md "Measurement-integrity finding"), the per-gather cost of every
+alternative Mosaic can express:
+
+  A. one-hot MXU dot      out[e,:] = onehot[e,:] @ T[384, 256]   (baseline)
+  B. lane dynamic_gather  outT[d,eb] = TT[d, idx[eb]] via
+                          jnp.take_along_axis(axis=1) -> tpu.dynamic_gather,
+                          34 calls of [256, 384] per full edge stream
+  B2. lane dynamic_gather with 128-lane subtables (3 gathers + 2 selects)
+      in case multi-block lane gather is unsupported/slow
+  C. sublane dynamic_gather out[eb,:] = T[idx[eb], :] via
+                          take_along_axis(axis=0), 34 calls of [384, 256]
+  T. tpu.transpose of a [256, 384] f32 block (the layout-conversion tax the
+     transposed variants would pay to feed the row-major edge pipeline)
+
+Each variant runs ITERS times inside one kernel with the result threaded
+through the fori_loop carry; a second run at ITERS//4 must take ~1/4 the
+time (printed as `calib`), else the loop collapsed and the number is
+invalid. Shapes mirror the production megakernel at LJ-258/tile_n=136:
+edge stream 13056 rows, table [384 rows | 272 live, 256 lanes] bf16.
+"""
+
+import argparse
+import functools
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+ROWS = 13056          # 272 padded atoms x K=48
+N_PAD = 384           # 128-aligned node table rows
+N_LIVE = 258
+LANES = 256           # hi|lo packed feature lanes
+EB = 384              # edges per dynamic-gather block
+N_BLOCKS = ROWS // EB  # 34
+
+
+def _acc_update(acc, out):
+    # Fold a dependency on `out` into the carry so no iteration is DCE'd
+    # and the loop cannot collapse (accumulator rides the CARRY).
+    return acc + out[:8, :128].astype(jnp.float32)
+
+
+def kernel_onehot(idx_ref, tbl_ref, out_ref, oh_scr, *, iters):
+    def fill(t, _):
+        r0 = pl.multiple_of(t * 1632, 1632)
+        idx_t = idx_ref[pl.ds(r0, 1632), :]
+        iota = jax.lax.broadcasted_iota(jnp.int32, (1632, N_PAD), 1)
+        oh_scr[pl.ds(r0, 1632), :] = (iota == idx_t).astype(jnp.bfloat16)
+        return 0
+    jax.lax.fori_loop(0, ROWS // 1632, fill, 0)
+
+    def body(i, acc):
+        g = jnp.dot(oh_scr[:, :], tbl_ref[:, :],
+                    preferred_element_type=jnp.float32)
+        return _acc_update(acc, g + acc[0, 0])
+    out_ref[:, :] = jax.lax.fori_loop(
+        0, iters, body, jnp.zeros((8, 128), jnp.float32))
+
+
+def kernel_lane(idxb_ref, tblT_ref, out_ref, *, iters, width):
+    """take_along_axis(axis=1): out[d, e] = TT[d, idx[e]].
+
+    width=384: single gather over 3 lane blocks (if Mosaic supports it).
+    width=128: 3 subtable gathers + 2 selects (idx % 128, select by idx//128).
+    """
+    def body(i, acc):
+        dep = acc[0, 0].astype(jnp.int32) * 0  # carry dependency
+        def block(b, acc2):
+            idx = idxb_ref[pl.ds(b * 8, 8), :]              # [8, EB]
+            idx_b = jnp.broadcast_to(idx[0:1, :], (LANES, EB)) + dep
+            if width == 384:
+                x = tblT_ref[:, :]                           # [256, 384]
+                g = jnp.take_along_axis(x, idx_b, axis=1,
+                                        mode="promise_in_bounds")
+            else:
+                parts = []
+                for s in range(3):
+                    sub = tblT_ref[:, pl.ds(s * 128, 128)]   # [256, 128]
+                    sub_idx = jnp.clip(idx_b - s * 128, 0, 127)
+                    parts.append(jnp.take_along_axis(
+                        sub, sub_idx, axis=1, mode="promise_in_bounds"))
+                blk = idx_b // 128
+                g = jnp.where(blk == 0, parts[0],
+                              jnp.where(blk == 1, parts[1], parts[2]))
+            return _acc_update(acc2, g)
+        return jax.lax.fori_loop(0, N_BLOCKS, block, acc)
+    out_ref[:, :] = jax.lax.fori_loop(
+        0, iters, body, jnp.zeros((8, 128), jnp.float32))
+
+
+def kernel_sublane(idxb_ref, tbl_ref, out_ref, *, iters):
+    """take_along_axis(axis=0): out[e, :] = T[idx[e], :] in [384, 256]
+    blocks (34 per edge stream)."""
+    def body(i, acc):
+        dep = acc[0, 0].astype(jnp.int32) * 0
+        def block(b, acc2):
+            idx = idxb_ref[pl.ds(b * 8, 8), :]               # [8, EB]
+            # want column vector [EB, LANES] of indices
+            idx_col = jnp.broadcast_to(
+                idx[0:1, :].reshape(EB, 1), (EB, LANES)) + dep
+            g = jnp.take_along_axis(tbl_ref[:, :], idx_col, axis=0,
+                                    mode="promise_in_bounds")
+            return _acc_update(acc2, g)
+        return jax.lax.fori_loop(0, N_BLOCKS, block, acc)
+    out_ref[:, :] = jax.lax.fori_loop(
+        0, iters, body, jnp.zeros((8, 128), jnp.float32))
+
+
+def kernel_transpose(tblT_ref, out_ref, *, iters):
+    def body(i, acc):
+        def block(b, acc2):
+            x = tblT_ref[:, :] + acc2[0, 0]                  # [256, 384]
+            return _acc_update(acc2, x.T)
+        return jax.lax.fori_loop(0, N_BLOCKS, block, acc)
+    out_ref[:, :] = jax.lax.fori_loop(
+        0, iters, body, jnp.zeros((8, 128), jnp.float32))
+
+
+def run_variant(name, make_call, iters):
+    try:
+        f = make_call(iters)
+        t0 = time.time()
+        r = jax.block_until_ready(f())
+        compile_s = time.time() - t0
+        t0 = time.time()
+        jax.block_until_ready(f())
+        full = time.time() - t0
+        f4 = make_call(max(1, iters // 4))
+        jax.block_until_ready(f4())
+        t0 = time.time()
+        jax.block_until_ready(f4())
+        quarter = time.time() - t0
+        calib = full / max(quarter, 1e-9)
+        per_iter_us = full / iters * 1e6
+        status = "OK" if 2.8 < calib < 5.2 else "LOOP-COLLAPSED?"
+        print(json.dumps({
+            "variant": name, "per_edge_stream_us": round(per_iter_us, 2),
+            "calib_ratio": round(calib, 2), "status": status,
+            "compile_s": round(compile_s, 1)}), flush=True)
+        return per_iter_us, status
+    except Exception as e:  # lowering not supported -> evidence too
+        msg = str(e).split("\n")[0][:300]
+        print(json.dumps({"variant": name, "error": msg}), flush=True)
+        return None, "ERROR"
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--iters", type=int, default=2000)
+    ap.add_argument("--cpu", action="store_true")
+    ap.add_argument("--interpret", action="store_true",
+                    help="interpreter-mode shape/trace smoke test (no "
+                         "Mosaic lowering exercised)")
+    args = ap.parse_args()
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+
+    rng = np.random.RandomState(0)
+    idx = rng.randint(0, N_LIVE, (ROWS, 1)).astype(np.int32)
+    idx_blocks = idx.reshape(N_BLOCKS, EB)           # [34, 384]
+    # one row per block, replicated to 8 sublanes for clean vreg loads
+    idxb = np.repeat(idx_blocks, 8, axis=0).astype(np.int32)  # [272, 384]
+    tbl = rng.randn(N_PAD, LANES).astype(np.float32)
+    tblT = np.ascontiguousarray(tbl.T[:, :N_PAD])    # [256, 384]
+
+    vmem = pltpu.CompilerParams(vmem_limit_bytes=112 * 2**20)
+    out_sd = jax.ShapeDtypeStruct((8, 128), jnp.float32)
+    full = lambda: pl.BlockSpec(memory_space=pltpu.VMEM)
+
+    def call_onehot(iters):
+        k = functools.partial(kernel_onehot, iters=iters)
+        fn = pl.pallas_call(
+            k, out_shape=out_sd, in_specs=[full(), full()],
+            out_specs=full(),
+            scratch_shapes=[pltpu.VMEM((ROWS, N_PAD), jnp.bfloat16)],
+            compiler_params=vmem, interpret=args.interpret)
+        a, b = jnp.asarray(idx), jnp.asarray(tbl, jnp.bfloat16)
+        return lambda: jax.jit(lambda: fn(a, b))()
+
+    def call_lane(iters, width):
+        k = functools.partial(kernel_lane, iters=iters, width=width)
+        fn = pl.pallas_call(
+            k, out_shape=out_sd, in_specs=[full(), full()],
+            out_specs=full(), compiler_params=vmem, interpret=args.interpret)
+        a, b = jnp.asarray(idxb), jnp.asarray(tblT)
+        return lambda: jax.jit(lambda: fn(a, b))()
+
+    def call_sublane(iters):
+        k = functools.partial(kernel_sublane, iters=iters)
+        fn = pl.pallas_call(
+            k, out_shape=out_sd, in_specs=[full(), full()],
+            out_specs=full(), compiler_params=vmem, interpret=args.interpret)
+        a, b = jnp.asarray(idxb), jnp.asarray(tbl)
+        return lambda: jax.jit(lambda: fn(a, b))()
+
+    def call_transpose(iters):
+        k = functools.partial(kernel_transpose, iters=iters)
+        fn = pl.pallas_call(
+            k, out_shape=out_sd, in_specs=[full()],
+            out_specs=full(), compiler_params=vmem, interpret=args.interpret)
+        b = jnp.asarray(tblT)
+        return lambda: jax.jit(lambda: fn(b))()
+
+    print(f"backend: {jax.devices()[0]}", flush=True)
+    print(f"shapes: edge stream {ROWS}x{LANES}, table {N_PAD}({N_LIVE} live)"
+          f"x{LANES}; {N_BLOCKS} blocks of {EB} edges", flush=True)
+    results = {}
+    results["onehot_dot"] = run_variant(
+        "onehot_dot (baseline)", call_onehot, args.iters)
+    results["lane_384"] = run_variant(
+        "lane dynamic_gather width=384",
+        lambda it: call_lane(it, 384), args.iters)
+    results["lane_128x3"] = run_variant(
+        "lane dynamic_gather 3x128 + select",
+        lambda it: call_lane(it, 128), args.iters)
+    results["sublane"] = run_variant(
+        "sublane dynamic_gather", call_sublane, max(200, args.iters // 10))
+    results["transpose"] = run_variant(
+        "tpu.transpose 256x384 blocks", call_transpose, args.iters)
+    print("SUMMARY " + json.dumps(
+        {k: (None if v[0] is None else round(v[0], 2))
+         for k, v in results.items()}), flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -261,8 +261,13 @@ def test_generate_rigid_water_smoke(tmp_path):
     assert d["pos"].shape == (24, 3)
     cst = RigidWater(8, 20.0, P)
     assert float(cst.residual(jnp.asarray(d["pos"]))) < 1e-5
-    f_expect = np.asarray(w.tip3p_forces_rigid(
-        jnp.asarray(d["pos"]), 20.0, params)) / units.KJ_MOL_NM_TO_INTERNAL
+    # Generation defaults to the reference-protocol Ewald potential —
+    # recompute labels with the same potential.
+    from gamd_tpu.physics import ewald as _ewald
+    ew = _ewald.make_ewald_params(20.0)
+    f_expect = np.asarray(-jax.grad(w.tip3p_energy_rigid_ewald)(
+        jnp.asarray(d["pos"]), 20.0, ew, params)) \
+        / units.KJ_MOL_NM_TO_INTERNAL
     # rtol: the batched (vmapped) recorder reduces pair sums in a
     # different order than this unbatched recompute - f32 ULP-level
     # deviations on O(100 kJ/mol/nm) forces.
