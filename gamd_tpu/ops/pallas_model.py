@@ -983,10 +983,12 @@ def mega_forward(pos, idx, build_mask, h0, mp: MegaParams, box, cutoff,
         out_shape=jax.ShapeDtypeStruct((r, n_rows_t, 128), jnp.float32),
         # Some shapes (bench_mxu's full-forward at K=64) spill ~1 MB past
         # Mosaic's default 16 MB scoped-VMEM stack cap; the v5e has 128 MB
-        # of VMEM, so raise the scoped limit well clear of it. 112 MB (not
-        # 100): the 8-replica NHC forward at tile_n=136 needs 100.31 MB
-        # (r3e replica bench compile failure).
-        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=112 * 2**20),
+        # of VMEM, so raise the scoped limit well clear of it. 126 MB: the
+        # 8-replica NHC forward at tile_n=136 needs 118.52 MB when nested
+        # in the NHC while-loop (r4 replica bench compile failure at 112).
+        # Only this call is raised — the megastep kernel stays at its
+        # validated 112 MB so headline-bench buffer assignment is unchanged.
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=126 * 2**20),
         interpret=interpret,
     )(scalars, pos_pk,
       idx.astype(jnp.int32).reshape(r * rows_total, 1), bmask,
