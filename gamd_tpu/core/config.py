@@ -137,6 +137,8 @@ class TrainConfig:
     batch_size: int = 1
     loss: str = "mae"                 # 'mae' | 'mse'
     lambda_net_force: float = 1e-3    # LAMBDA2 net-force regularizer
+    lambda_cosine: float = 0.0        # angular fine-tune term (0 = the
+                                      # reference loss; see loop.py loss_fn)
     rotate_aug: bool = True
     rotate_prob: float = 0.3
     jitter_sigma: float = 0.005

@@ -171,10 +171,13 @@ class EdgeGatedConv(nn.Module):
             # (fused_conv_layer) measured SLOWER (68 vs 28 us/layer: the
             # tiny per-tile phi matmuls stall the MXU pipeline).
             from gamd_tpu.ops.pallas_mp import fused_conv_gather_message
+            # Interpret mode on CPU backends so the same model config runs
+            # in tests and on the virtual device mesh.
+            interp = jax.devices()[0].platform == "cpu"
             agg = jax.vmap(
                 lambda eb, ib, mk, hnb, sb, db: fused_conv_gather_message(
                     eb, ib, mk, hnb, sb, db, w_e1, b_e1, w_e2, b_e2,
-                    w_t1, b_t1, w_t2, b_t2)
+                    w_t1, b_t1, w_t2, b_t2, 16, interp)
             )(e, idx, agg_mask, hn, src_nodes, dst_code)
             delta = act(hn @ w_pd + b_pd + agg @ w_pe + b_pe) @ w_p + b_p
             return h_raw + delta, None

@@ -514,16 +514,198 @@ def _conv_gather_fwd(e, idx, mask, hn, src_nodes, dst_code,
                  w1, b1, w2, b2, w3, b3, w4, b4)
 
 
+def _dsilu(x):
+    """d/dx silu(x) = sigmoid(x) * (1 + x * (1 - sigmoid(x)))."""
+    s = jax.nn.sigmoid(x)
+    return s * (1.0 + x * (1.0 - s))
+
+
+def _conv_msg_gather_bwd_kernel(
+        g_ref, e_ref, idx_ref, mask_ref, nodes_hi_ref, nodes_lo_ref,
+        dstc_ref, w1_ref, b1_ref, w2_ref, b2_ref, w3_ref, b3_ref,
+        w4_ref, b4_ref, w1t_ref, w2t_ref, w3t_ref, w4t_ref,
+        ge_ref, gdst_ref, gnodes_ref,
+        gw1_ref, gb1_ref, gw2_ref, gb2_ref,
+        gw3_ref, gb3_ref, gw4_ref, gb4_ref, *,
+        tile_n: int, k: int, d: int):
+    """REAL backward for fused_conv_gather_message (the training hot path).
+
+    Recomputes the tile's edge pipeline entirely in VMEM (the [N, K, *]
+    edge stream never materializes in HBM — same property the reference's
+    fused DGL backward kernels have, nn_module.py:142) and emits input
+    gradients plus PER-TILE partial weight/node gradients. Partials are
+    summed by one XLA reduction outside the kernel: per-tile outputs keep
+    the kernel free of cross-grid-step accumulator state, which keeps it
+    correct under jax.vmap's prepended batch grid dimension.
+    """
+    e_dim = w1_ref.shape[0]
+    n_pad = nodes_hi_ref.shape[0]
+    rows = tile_n * k
+    bf = jnp.bfloat16
+
+    def mm(a, w_ref):
+        return jnp.dot(a.astype(bf), w_ref[:, :].astype(bf),
+                       preferred_element_type=jnp.float32)
+
+    # ---- recompute the forward edge pipeline (see _conv_msg_gather_kernel)
+    iota = jax.lax.broadcasted_iota(jnp.int32, (tile_n, k, n_pad), 2)
+    onehot = (iota == idx_ref[:, :][:, :, None]).astype(bf).reshape(
+        rows, n_pad)
+    gfull = (jnp.dot(onehot, nodes_hi_ref[:, :],
+                     preferred_element_type=jnp.float32)
+             + jnp.dot(onehot, nodes_lo_ref[:, :],
+                       preferred_element_type=jnp.float32))  # [rows, D+H]
+    h_src = gfull[:, :d]
+    src_code = gfull[:, d:]
+
+    x = e_ref[:, :, :].reshape(rows, e_dim)
+    s1 = mm(x, w1_ref) + b1_ref[0, :]
+    z1 = _silu(s1)
+    z2 = mm(z1, w2_ref) + b2_ref[0, :] + src_code \
+        + jnp.repeat(dstc_ref[:, :], k, axis=0)
+    a2 = _silu(z2)
+    s3 = mm(a2, w3_ref) + b3_ref[0, :]
+    z3 = _silu(s3)
+    m = mm(z3, w4_ref) + b4_ref[0, :]
+
+    # ---- reverse sweep -------------------------------------------------
+    msk = mask_ref[:, :].astype(jnp.float32).reshape(rows, 1)
+    g_rows = jnp.repeat(g_ref[:, :], k, axis=0) * msk       # [rows, D]
+    g_m = g_rows * h_src
+    g_hsrc = g_rows * m
+
+    def wgrad(acts, grads):
+        # [rows, X]^T @ [rows, Y] weight-gradient contraction on the MXU.
+        return jax.lax.dot_general(
+            acts.astype(bf), grads.astype(bf), (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+
+    g_z3 = mm(g_m, w4t_ref)
+    gw4_ref[0, :, :] = wgrad(z3, g_m)
+    gb4_ref[0, 0, :] = jnp.sum(g_m, axis=0)
+
+    g_s3 = g_z3 * _dsilu(s3)
+    g_a2 = mm(g_s3, w3t_ref)
+    gw3_ref[0, :, :] = wgrad(a2, g_s3)
+    gb3_ref[0, 0, :] = jnp.sum(g_s3, axis=0)
+
+    g_z2 = g_a2 * _dsilu(z2)
+    gdst_ref[:, :] = jnp.sum(g_z2.reshape(tile_n, k, -1), axis=1)
+    g_z1 = mm(g_z2, w2t_ref)
+    gw2_ref[0, :, :] = wgrad(z1, g_z2)
+    gb2_ref[0, 0, :] = jnp.sum(g_z2, axis=0)
+
+    g_s1 = g_z1 * _dsilu(s1)
+    ge_ref[:, :, :] = mm(g_s1, w1t_ref).reshape(tile_n, k, e_dim)
+    gw1_ref[0, :, :] = wgrad(x, g_s1)
+    gb1_ref[0, 0, :] = jnp.sum(g_s1, axis=0)
+
+    # Scatter-add to nodes = one-hot transpose matmul (exact row routing,
+    # same hi/lo-free trick: grads tolerate bf16 onehot since 0/1 is exact).
+    g_cat = jnp.concatenate([g_hsrc, g_z2], axis=1)          # [rows, D+H]
+    gnodes_ref[0, :, :] = jax.lax.dot_general(
+        onehot, g_cat.astype(bf), (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)                  # [n_pad, D+H]
+
+
+def _conv_msg_gather_backward(g, e, idx, mask, hn, src_nodes, dst_code,
+                              w1, b1, w2, b2, w3, b3, w4, b4, tile_n,
+                              interpret):
+    n, k, e_dim = e.shape
+    h_dim = w1.shape[1]
+    d = hn.shape[1]
+    n_tiles_r = _round_up(n, tile_n)
+    n_nodes_pad = _round_up(n, 128)
+    n_tiles = n_tiles_r // tile_n
+
+    if n_tiles_r != n:
+        pad = n_tiles_r - n
+        g = jnp.pad(g, ((0, pad), (0, 0)))
+        e = jnp.pad(e, ((0, pad), (0, 0), (0, 0)))
+        idx = jnp.pad(idx, ((0, pad), (0, 0)))
+        mask = jnp.pad(mask, ((0, pad), (0, 0)))
+        dst_code = jnp.pad(dst_code, ((0, pad), (0, 0)))
+
+    nodes = jnp.concatenate([hn, src_nodes], axis=1)
+    nodes = jnp.pad(nodes, ((0, n_nodes_pad - n), (0, 0)))
+    nodes_hi = nodes.astype(jnp.bfloat16)
+    nodes_lo = (nodes - nodes_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+
+    kernel = functools.partial(_conv_msg_gather_bwd_kernel, tile_n=tile_n,
+                               k=k, d=d)
+    f32 = lambda a: a.astype(jnp.float32)
+    row = lambda a: a.reshape(1, -1).astype(jnp.float32)
+    tile = lambda *s: pl.BlockSpec((tile_n,) + s,
+                                   lambda i: (i,) + (0,) * len(s),
+                                   memory_space=pltpu.VMEM)
+    whole = lambda *s: pl.BlockSpec(s, lambda i: (0,) * len(s),
+                                    memory_space=pltpu.VMEM)
+    part = lambda *s: pl.BlockSpec((1,) + s, lambda i: (i,) + (0,) * len(s),
+                                   memory_space=pltpu.VMEM)
+    outs = pl.pallas_call(
+        kernel,
+        grid=(n_tiles,),
+        in_specs=[
+            tile(d), tile(k, e_dim), tile(k), tile(k),
+            whole(n_nodes_pad, d + h_dim), whole(n_nodes_pad, d + h_dim),
+            tile(h_dim),
+            whole(e_dim, h_dim), whole(1, h_dim),
+            whole(h_dim, h_dim), whole(1, h_dim),
+            whole(h_dim, h_dim), whole(1, h_dim),
+            whole(h_dim, d), whole(1, d),
+            whole(h_dim, e_dim), whole(h_dim, h_dim),
+            whole(h_dim, h_dim), whole(d, h_dim),
+        ],
+        out_specs=[
+            tile(k, e_dim), tile(h_dim), part(n_nodes_pad, d + h_dim),
+            part(e_dim, h_dim), part(1, h_dim),
+            part(h_dim, h_dim), part(1, h_dim),
+            part(h_dim, h_dim), part(1, h_dim),
+            part(h_dim, d), part(1, d),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((n_tiles_r, k, e_dim), jnp.float32),
+            jax.ShapeDtypeStruct((n_tiles_r, h_dim), jnp.float32),
+            jax.ShapeDtypeStruct((n_tiles, n_nodes_pad, d + h_dim),
+                                 jnp.float32),
+            jax.ShapeDtypeStruct((n_tiles, e_dim, h_dim), jnp.float32),
+            jax.ShapeDtypeStruct((n_tiles, 1, h_dim), jnp.float32),
+            jax.ShapeDtypeStruct((n_tiles, h_dim, h_dim), jnp.float32),
+            jax.ShapeDtypeStruct((n_tiles, 1, h_dim), jnp.float32),
+            jax.ShapeDtypeStruct((n_tiles, h_dim, h_dim), jnp.float32),
+            jax.ShapeDtypeStruct((n_tiles, 1, h_dim), jnp.float32),
+            jax.ShapeDtypeStruct((n_tiles, h_dim, d), jnp.float32),
+            jax.ShapeDtypeStruct((n_tiles, 1, d), jnp.float32),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=6 * n * k * (h_dim * (e_dim + 2 * h_dim + d)
+                               + 2 * n_nodes_pad * 2 * d),
+            bytes_accessed=8 * n * k * e_dim,
+            transcendentals=6 * n * k * h_dim,
+        ),
+        interpret=interpret,
+    )(f32(g), f32(e), idx.astype(jnp.int32), mask, nodes_hi, nodes_lo,
+      f32(dst_code), f32(w1), row(b1), f32(w2), row(b2), f32(w3), row(b3),
+      f32(w4), row(b4), f32(w1.T), f32(w2.T), f32(w3.T), f32(w4.T))
+
+    (ge, gdst, gnodes_p, gw1, gb1, gw2, gb2, gw3, gb3, gw4, gb4) = outs
+    gnodes = jnp.sum(gnodes_p, axis=0)[:n]
+    return (ge[:n], gnodes[:, :d], gnodes[:, d:], gdst[:n],
+            jnp.sum(gw1, axis=0), jnp.sum(gb1, axis=0)[0],
+            jnp.sum(gw2, axis=0), jnp.sum(gb2, axis=0)[0],
+            jnp.sum(gw3, axis=0), jnp.sum(gb3, axis=0)[0],
+            jnp.sum(gw4, axis=0), jnp.sum(gb4, axis=0)[0])
+
+
 def _conv_gather_bwd(tile_n, interpret, residuals, g):
     (e, idx, mask, hn, src_nodes, dst_code,
      w1, b1, w2, b2, w3, b3, w4, b4) = residuals
-    _, vjp = jax.vjp(
-        lambda ee, hh, ss, dd, *ws: _conv_msg_gather_reference(
-            ee, idx, mask, hh, ss, dd, *ws),
-        e, hn, src_nodes, dst_code, w1, b1, w2, b2, w3, b3, w4, b4)
-    grads = vjp(g)
-    return (grads[0], None, None, grads[1], grads[2], grads[3]) + \
-        tuple(grads[4:])
+    grads = _conv_msg_gather_backward(
+        g, e, idx, mask, hn, src_nodes, dst_code,
+        w1, b1, w2, b2, w3, b3, w4, b4, tile_n, interpret)
+    (ge, ghn, gsrc, gdst, gw1, gb1, gw2, gb2, gw3, gb3, gw4, gb4) = grads
+    return (ge, None, None, ghn, gsrc, gdst,
+            gw1, gb1, gw2, gb2, gw3, gb3, gw4, gb4)
 
 
 fused_conv_gather_message.defvjp(_conv_gather_fwd, _conv_gather_bwd)

@@ -50,9 +50,17 @@ N_BLOCKS = ROWS // EB  # 34
 
 
 def _acc_update(acc, out):
-    # Fold a dependency on `out` into the carry so no iteration is DCE'd
-    # and the loop cannot collapse (accumulator rides the CARRY).
-    return acc + out[:8, :128].astype(jnp.float32)
+    # Fold a FULL reduction of `out` into the carry so no element of the
+    # iteration's result can be DCE'd and the loop cannot collapse
+    # (accumulator rides the CARRY; a partial slice lets Mosaic compute
+    # just that slice — the r4a probe run collapsed exactly that way).
+    return acc + jnp.sum(out.astype(jnp.float32))
+
+
+def _dep_scalar(acc):
+    # Data-dependent, non-foldable zero: `acc * 0` constant-folds, a
+    # runtime comparison against the carry cannot.
+    return jnp.where(acc[0, 0] > 1e30, 1.0, 0.0).astype(jnp.float32)
 
 
 def kernel_onehot(idx_ref, tbl_ref, out_ref, oh_scr, *, iters):
@@ -65,9 +73,10 @@ def kernel_onehot(idx_ref, tbl_ref, out_ref, oh_scr, *, iters):
     jax.lax.fori_loop(0, ROWS // 1632, fill, 0)
 
     def body(i, acc):
-        g = jnp.dot(oh_scr[:, :], tbl_ref[:, :],
+        tbl_dep = tbl_ref[:, :] + _dep_scalar(acc).astype(jnp.bfloat16)
+        g = jnp.dot(oh_scr[:, :], tbl_dep,
                     preferred_element_type=jnp.float32)
-        return _acc_update(acc, g + acc[0, 0])
+        return _acc_update(acc, g)
     out_ref[:, :] = jax.lax.fori_loop(
         0, iters, body, jnp.zeros((8, 128), jnp.float32))
 
@@ -79,7 +88,7 @@ def kernel_lane(idxb_ref, tblT_ref, out_ref, *, iters, width):
     width=128: 3 subtable gathers + 2 selects (idx % 128, select by idx//128).
     """
     def body(i, acc):
-        dep = acc[0, 0].astype(jnp.int32) * 0  # carry dependency
+        dep = _dep_scalar(acc).astype(jnp.int32)  # carry dependency
         def block(b, acc2):
             idx = idxb_ref[pl.ds(b * 8, 8), :]              # [8, EB]
             idx_b = jnp.broadcast_to(idx[0:1, :], (LANES, EB)) + dep
@@ -107,7 +116,7 @@ def kernel_sublane(idxb_ref, tbl_ref, out_ref, *, iters):
     """take_along_axis(axis=0): out[e, :] = T[idx[e], :] in [384, 256]
     blocks (34 per edge stream)."""
     def body(i, acc):
-        dep = acc[0, 0].astype(jnp.int32) * 0
+        dep = _dep_scalar(acc).astype(jnp.int32)
         def block(b, acc2):
             idx = idxb_ref[pl.ds(b * 8, 8), :]               # [8, EB]
             # want column vector [EB, LANES] of indices
@@ -124,7 +133,7 @@ def kernel_sublane(idxb_ref, tbl_ref, out_ref, *, iters):
 def kernel_transpose(tblT_ref, out_ref, *, iters):
     def body(i, acc):
         def block(b, acc2):
-            x = tblT_ref[:, :] + acc2[0, 0]                  # [256, 384]
+            x = tblT_ref[:, :] + _dep_scalar(acc2)           # [256, 384]
             return _acc_update(acc2, x.T)
         return jax.lax.fori_loop(0, N_BLOCKS, block, acc)
     out_ref[:, :] = jax.lax.fori_loop(
@@ -154,7 +163,12 @@ def run_variant(name, make_call, iters):
             "compile_s": round(compile_s, 1)}), flush=True)
         return per_iter_us, status
     except Exception as e:  # lowering not supported -> evidence too
-        msg = str(e).split("\n")[0][:300]
+        full = str(e)
+        lines = [ln.strip() for ln in full.split("\n")
+                 if any(t in ln for t in ("Mosaic", "INTERNAL", "error:",
+                                          "Unsupported", "not implemented",
+                                          "NotImplemented", "failed"))]
+        msg = (" | ".join(lines[:6]) or full.split("\n")[0])[:1200]
         print(json.dumps({"variant": name, "error": msg}), flush=True)
         return None, "ERROR"
 

@@ -25,6 +25,10 @@ def main():
     parser.add_argument("--batch", default=4, type=int)
     parser.add_argument("--reps", default=50, type=int)
     parser.add_argument("--cpu", action="store_true")
+    parser.add_argument("--use_pallas", action="store_true",
+                        help="route the conv-layer edge pipeline through "
+                             "the fused Pallas kernels (forward + REAL "
+                             "backward kernel) instead of plain XLA")
     args = parser.parse_args()
 
     import jax
@@ -43,7 +47,8 @@ def main():
 
     system = get_preset(args.system)
     b, n = args.batch, system.n_atoms
-    model_cfg = ModelConfig(use_layer_norm=True)
+    model_cfg = ModelConfig(use_layer_norm=True,
+                            use_pallas=args.use_pallas)
     train_cfg = TrainConfig(batch_size=b)
     model = build_model(model_cfg, system)
     tx = make_optimizer(train_cfg, 1000)

@@ -44,6 +44,10 @@ def main():
     parser.add_argument("--drop_edge", action="store_true")
     parser.add_argument("--use_layer_norm", action="store_true")
     parser.add_argument("--update_edge", action="store_true")
+    parser.add_argument("--use_pallas", action="store_true",
+                        help="train through the fused Pallas conv kernels "
+                             "(forward + real backward kernel, the DGL-"
+                             "fused-kernel training parity path)")
     parser.add_argument("--disable_expand_edge", dest="expand_edge",
                         default=True, action="store_false")
     parser.add_argument("--disable_rotate_aug", dest="rotate_aug",
@@ -61,6 +65,9 @@ def main():
     parser.add_argument("--no_pack", action="store_true",
                         help="disable the packed-dataset cache")
     parser.add_argument("--loss", default="mae", choices=["mae", "mse"])
+    parser.add_argument("--lambda_cosine", default=0.0, type=float,
+                        help="weight of the 1-cos angular fine-tune term "
+                             "(0 = exact reference loss)")
     parser.add_argument("--num_device", default=-1, type=int,
                         help="devices for data parallelism (-1 = all)")
     parser.add_argument("--jitter_sigma", default=None, type=float,
@@ -101,6 +108,7 @@ def main():
         update_edge=args.update_edge,
         expand_edge=args.expand_edge,
         flip_dir=(args.system == "dft"),
+        use_pallas=args.use_pallas,
     )
     # LAMBDA2 differs for the DFT config (reference:
     # train_network_real_large.py:30 vs train_network_lj.py:35).
@@ -109,6 +117,7 @@ def main():
         lr_total_decay=args.lr_decay,
         batch_size=args.batch_size, loss=args.loss,
         lambda_net_force=0.5e-2 if args.system == "dft" else 1e-3,
+        lambda_cosine=args.lambda_cosine,
         rotate_aug=args.rotate_aug,
         jitter_sigma=(args.jitter_sigma if args.jitter_sigma is not None
                       else (0.00025 if args.system == "dft" else 0.005)),
