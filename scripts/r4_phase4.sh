@@ -1,0 +1,128 @@
+#!/bin/bash
+# Round-4 phase-4 chip queue (replaces phase-2 steps 5b+ and phase-3).
+# Rationale: phase-2's remaining order (2.5h GAMD-large at an over-spec
+# config, then a TIP4P chain that cannot finish) would starve the
+# short perf measurements (VERDICT #1 gather probe, #8 Pallas train
+# timing) and collide with the driver's end-of-round bench. This queue
+# is deadline-aware: every stage is timeout-bounded and evidence is
+# committed after each stage.
+#   nohup bash scripts/r4_phase4.sh > /tmp/r4p4.log 2>&1 &
+#   echo $! > /tmp/r4p4_launcher.pid
+cd "$(dirname "$0")/.."
+export PYTHONPATH=$PWD:/root/.axon_site
+mkdir -p results results/ckpts
+
+# Round end (epoch s): round start 1787098692 + 43200. Reserve 900 s for
+# the driver's own bench run + final commits.
+DEADLINE=1787141892
+left() { echo $(( DEADLINE - $(date +%s) )); }
+
+commit_results() {
+  for i in 1 2 3 4 5; do
+    git add -A results && git commit -m "$1" >/dev/null 2>&1 && break
+    sleep $((i * 3))
+  done
+  echo "committed: $1"
+}
+
+latest_ckpt() {
+  ls "$1"/checkpoint_*.msgpack 2>/dev/null | sort -V | tail -1
+}
+
+echo "=== [P4.0] waiting for TIP3P train (pid 1584) $(date)"
+while kill -0 1584 2>/dev/null; do sleep 30; done
+echo "train done $(date); left=$(left)s"
+
+CK3=$(latest_ckpt model_ckpt_tip3p_r4)
+echo "tip3p ckpt: $CK3"
+if [ -n "$CK3" ]; then
+  cp "$CK3" results/ckpts/tip3p_final.msgpack
+  cp "$(ls model_ckpt_tip3p_r4/scaler_*.npz | sort -V | tail -1)" \
+     results/ckpts/tip3p_scaler.npz 2>/dev/null
+  timeout 1500 python scripts/evaluate.py --system tip3p --ckpt "$CK3" \
+    --data_dir md_dataset/water_data --json_out results/tip3p_eval_r4.json \
+    > results/tip3p_eval_r4.log 2>&1
+  echo "P4.1 eval rc=$? $(head -c 300 results/tip3p_eval_r4.json 2>/dev/null)"
+  commit_results "results: TIP3P b1x60 anneal on Ewald labels - training log, ckpt, eval (r4)"
+fi
+
+echo "=== [P4.2] FIXED GATHER PROBE (collapse-proof carry) $(date) left=$(left)"
+timeout 2400 python scripts/probe_gather.py > results/probe_gather_r4b.log 2>&1
+echo "P4.2 rc=$? $(grep SUMMARY results/probe_gather_r4b.log | tail -1)"
+commit_results "results: gather-variant probe, collapse-proof rerun (r4)"
+
+echo "=== [P4.3] KERNEL PARITY incl. unroll-tiles + bwd kernel $(date) left=$(left)"
+timeout 1800 bash -c 'GAMD_UNROLL_TILES=1 python scripts/check_kernels.py' \
+  > results/check_kernels_r4b.log 2>&1
+echo "P4.3 rc=$? $(tail -1 results/check_kernels_r4b.log)"
+commit_results "results: on-chip kernel parity with tile unroll + backward kernel (r4)"
+
+echo "=== [P4.4] TRAIN STEP THROUGH PALLAS FWD+BWD $(date) left=$(left)"
+timeout 2400 python scripts/profile_train.py --batch 1 --use_pallas \
+  > results/profile_train_pallas_r4.log 2>&1
+echo "P4.4 rc=$? $(tail -4 results/profile_train_pallas_r4.log | head -2)"
+commit_results "results: LJ b1 train-step timing through Pallas fwd+bwd kernels (r4)"
+
+if [ -n "$CK3" ] && [ "$(left)" -gt 9000 ]; then
+  echo "=== [P4.5] TIP3P f25 25k ROLLOUT RDF A/B $(date) left=$(left)"
+  timeout 3600 python scripts/analyze_rollout.py --system tip3p --ckpt "$CK3" \
+    --data_dir md_dataset/water_data --steps 25000 --integrator langevin \
+    --friction 25.0 --classical_baseline \
+    --json_out results/tip3p_rdf_f25_r4.json > results/tip3p_rdf_r4.log 2>&1
+  echo "P4.5 rc=$? $(head -c 200 results/tip3p_rdf_f25_r4.json 2>/dev/null)"
+  commit_results "results: TIP3P 25k-step f25 rollout RDF A/B on Ewald model (r4)"
+fi
+
+if [ "$(left)" -gt 6600 ]; then
+  echo "=== [P4.6] LJ COSINE FINE-TUNE from r3e ckpt $(date) left=$(left)"
+  timeout 3600 python scripts/train_gamd.py --system lj --batch_size 1 \
+    --max_epoch 10 --min_epoch 10 --lr 5e-5 --lambda_cosine 1.0 \
+    --use_layer_norm --precompute_nbrs --matmul_precision highest \
+    --state_ckpt_dir results/ckpts/lj_highest_latest.msgpack \
+    --checkpoint_every 2 --cp_dir ./model_ckpt_lj_ft_r4 \
+    > results/lj_finetune_r4.log 2>&1
+  echo "P4.6 rc=$?"
+  CKF=$(latest_ckpt model_ckpt_lj_ft_r4)
+  if [ -n "$CKF" ]; then
+    cp "$CKF" results/ckpts/lj_cosft_latest.msgpack
+    cp "$(ls model_ckpt_lj_ft_r4/scaler_*.npz | sort -V | tail -1)" \
+       results/ckpts/lj_cosft_scaler.npz 2>/dev/null
+    timeout 1200 python scripts/evaluate.py --system lj --ckpt "$CKF" \
+      --data_dir md_dataset/lj_data --json_out results/lj_eval_cosft_r4.json \
+      > results/lj_eval_cosft_r4.log 2>&1
+    echo "P4.6b rc=$? $(head -c 300 results/lj_eval_cosft_r4.json 2>/dev/null)"
+    commit_results "results: LJ cosine fine-tune (lambda_cos=1.0, 10 ep from r3e ckpt) + eval (r4)"
+  fi
+fi
+
+BUDGET=$(( $(left) - 1500 ))
+if [ "$BUDGET" -gt 1500 ]; then
+  echo "=== [P4.7] GAMD-LARGE RPBE (ref defaults + update_edge) $(date) budget=${BUDGET}s"
+  timeout "$BUDGET" python scripts/train_gamd.py --system dft \
+    --data_dir md_dataset/RPBE-surrogate.npz --batch_size 1 --max_epoch 14 \
+    --min_epoch 14 --lr 1e-4 --use_layer_norm --update_edge \
+    --encoding_size 256 --hidden_dim 128 --edge_embedding_dim 256 \
+    --conv_layer 5 --checkpoint_every 2 \
+    --cp_dir ./model_ckpt_dftlarge_r4 > results/dftlarge_train_r4.log 2>&1
+  echo "P4.7 rc=$?"
+  CKD=$(latest_ckpt model_ckpt_dftlarge_r4)
+  if [ -n "$CKD" ]; then
+    cp "$CKD" results/ckpts/dftlarge_final.msgpack
+    cp "$(ls model_ckpt_dftlarge_r4/scaler_*.npz | sort -V | tail -1)" \
+       results/ckpts/dftlarge_scaler.npz 2>/dev/null
+    timeout 1200 python scripts/evaluate.py --system dft --ckpt "$CKD" \
+      --data_dir md_dataset/RPBE-surrogate.npz \
+      --json_out results/dftlarge_eval_r4.json > results/dftlarge_eval_r4.log 2>&1
+    echo "P4.7b rc=$? $(head -c 300 results/dftlarge_eval_r4.json 2>/dev/null)"
+    commit_results "results: GAMD-large (enc256/hid128/edge256/conv5 + update_edge) RPBE-surrogate train + eval (r4)"
+  fi
+fi
+
+if [ "$(left)" -gt 700 ]; then
+  echo "=== [P4.8] FINAL CLEAN HEADLINE BENCH $(date) left=$(left)"
+  timeout $(( $(left) - 180 )) python bench.py > results/bench_r4_final.log 2>&1
+  echo "P4.8 rc=$? $(grep '^{' results/bench_r4_final.log | tail -1)"
+  commit_results "results: final clean headline bench (r4)"
+fi
+
+echo "=== PHASE 4 DONE $(date) left=$(left)"

@@ -65,6 +65,9 @@ def main():
     parser.add_argument("--no_pack", action="store_true",
                         help="disable the packed-dataset cache")
     parser.add_argument("--loss", default="mae", choices=["mae", "mse"])
+    parser.add_argument("--checkpoint_every", default=None, type=int,
+                        help="override checkpoint cadence (default: preset "
+                             "5, or 50 for the dft system)")
     parser.add_argument("--lambda_cosine", default=0.0, type=float,
                         help="weight of the 1-cos angular fine-tune term "
                              "(0 = exact reference loss)")
@@ -121,7 +124,9 @@ def main():
         rotate_aug=args.rotate_aug,
         jitter_sigma=(args.jitter_sigma if args.jitter_sigma is not None
                       else (0.00025 if args.system == "dft" else 0.005)),
-        checkpoint_every=50 if args.system == "dft" else 5,
+        checkpoint_every=(args.checkpoint_every
+                          if args.checkpoint_every is not None
+                          else (50 if args.system == "dft" else 5)),
         precompute_nbrs=args.precompute_nbrs,
         start_epoch=args.start_epoch,
     )
