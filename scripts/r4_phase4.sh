@@ -77,6 +77,7 @@ if [ "$(left)" -gt 6600 ]; then
   echo "=== [P4.6] LJ COSINE FINE-TUNE from r3e ckpt $(date) left=$(left)"
   timeout 3600 python scripts/train_gamd.py --system lj --batch_size 1 \
     --max_epoch 10 --min_epoch 10 --lr 5e-5 --lambda_cosine 1.0 \
+    --jitter_sigma 0.0 \
     --use_layer_norm --precompute_nbrs --matmul_precision highest \
     --state_ckpt_dir results/ckpts/lj_highest_latest.msgpack \
     --checkpoint_every 2 --cp_dir ./model_ckpt_lj_ft_r4 \
@@ -123,6 +124,14 @@ if [ "$(left)" -gt 700 ]; then
   timeout $(( $(left) - 180 )) python bench.py > results/bench_r4_final.log 2>&1
   echo "P4.8 rc=$? $(grep '^{' results/bench_r4_final.log | tail -1)"
   commit_results "results: final clean headline bench (r4)"
+fi
+
+if [ "$(left)" -gt 2100 ]; then
+  echo "=== [P4.9] TILE-272 x UNROLL A/B (single-tile megastep) $(date) left=$(left)"
+  timeout 1800 bash -c 'GAMD_UNROLL_TILES=1 GAMD_BENCH_TILE_N=272 python bench.py' \
+    > results/bench_unroll272_r4.log 2>&1
+  echo "P4.9 rc=$? $(grep '^{' results/bench_unroll272_r4.log | tail -1)"
+  commit_results "results: headline bench, unroll x tile-272 single-tile A/B (r4)"
 fi
 
 echo "=== PHASE 4 DONE $(date) left=$(left)"
