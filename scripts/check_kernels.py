@@ -113,6 +113,31 @@ def main():
     # boundary. tests/test_banded.py holds the tight f32 parity bound.
     check("banded gather forward", out_b, 0.06)
 
+    # 6. backward kernel: end-to-end model GRADIENT parity on-chip (the
+    # training hot path — fused_conv_gather_message's real backward
+    # Pallas kernel vs the plain-XLA vjp, same params, same batch).
+    model_x = build_model(cfg_x, system)
+    model_p = build_model(lj_model_config(use_pallas=True), system)
+    posb, idxb, liveb = pos[None], idx[None], live[None]
+
+    def loss(model, params):
+        out = model.apply({"params": params}, posb, idxb, liveb, system.box,
+                          jnp.float32(2.0), jnp.float32(0.8))
+        return jnp.mean(jnp.abs(out))
+
+    g_x = jax.jit(jax.grad(lambda p: loss(model_x, p)))(state.params)
+    g_p = jax.jit(jax.grad(lambda p: loss(model_p, p)))(state.params)
+    leaves_x = jax.tree_util.tree_leaves(g_x)
+    leaves_p = jax.tree_util.tree_leaves(g_p)
+    gscale = max(float(jnp.abs(l).max()) for l in leaves_x) + 1e-12
+    gerr = max(float(jnp.abs(a - b).max()) for a, b in
+               zip(leaves_x, leaves_p)) / gscale
+    status = "OK " if gerr < 0.08 else "FAIL"
+    print(f"{status} backward kernel (model grads, {len(leaves_x)} leaves):"
+          f" max rel err {gerr:.4f} (tol 0.08)", flush=True)
+    if gerr >= 0.08:
+        failures.append("backward kernel grads")
+
     if failures:
         print(f"FAILURES: {failures}")
         sys.exit(1)
