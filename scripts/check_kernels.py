@@ -78,6 +78,13 @@ def main():
     mega = ff_x.force_fn(megakernel=True)
     check("whole-model megakernel", mega(pos, idx, mask), 0.05)
 
+    # 3b. megakernel at the production bench tile (136 -> 2 tiles), where
+    # GAMD_UNROLL_TILES=1 actually engages the static unroll — this is the
+    # parity gate for making unroll the default.
+    mega136 = ff_x.force_fn(megakernel=True, tile_n=136)
+    check("megakernel tile_n=136 (unroll-eligible)",
+          mega136(pos, idx, mask), 0.05)
+
     # 4. replica axis
     pos_r = jnp.stack([pos, jnp.mod(pos + 1.3, system.box)])
     idx2, mask2, _ = dense_neighbor_list(pos_r[1], system.box,
