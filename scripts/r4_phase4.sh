@@ -29,8 +29,8 @@ latest_ckpt() {
   ls "$1"/checkpoint_*.msgpack 2>/dev/null | sort -V | tail -1
 }
 
-echo "=== [P4.0] waiting for TIP3P train (pid 1584) $(date)"
-while kill -0 1584 2>/dev/null; do sleep 30; done
+echo "=== [P4.0] waiting for TIP3P train (pid file /tmp/r4_train.pid) $(date)"
+while kill -0 "$(cat /tmp/r4_train.pid 2>/dev/null)" 2>/dev/null; do sleep 30; done
 echo "train done $(date); left=$(left)s"
 
 CK3=$(latest_ckpt model_ckpt_tip3p_r4)
