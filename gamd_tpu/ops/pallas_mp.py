@@ -569,8 +569,14 @@ def _conv_msg_gather_bwd_kernel(
     m = mm(z3, w4_ref) + b4_ref[0, :]
 
     # ---- reverse sweep -------------------------------------------------
-    msk = mask_ref[:, :].astype(jnp.float32).reshape(rows, 1)
-    g_rows = jnp.repeat(g_ref[:, :], k, axis=0) * msk       # [rows, D]
+    # Mask applied in the 3-D domain ([TN,K,1] broadcast, same as the
+    # forward kernel) then collapsed: [TN,K] -> [rows,1] is NOT a
+    # supported Mosaic relayout (measured on-chip: "infer-vector-layout:
+    # unsupported shape cast vector<TNxK> -> vector<rowsx1>"), while
+    # leading-dim collapse/expand is.
+    g3 = jnp.repeat(g_ref[:, :], k, axis=0).reshape(tile_n, k, d)
+    msk3 = mask_ref[:, :].astype(jnp.float32)[:, :, None]
+    g_rows = (g3 * msk3).reshape(rows, d)                    # [rows, D]
     g_m = g_rows * h_src
     g_hsrc = g_rows * m
 
