@@ -341,6 +341,15 @@ def train(system: SystemConfig, model_cfg: ModelConfig,
             return {k: jnp.asarray(v) for k, v in batch.items()}
         return {k: jax.device_put(v, sharding) for k, v in batch.items()}
 
+    if os.environ.get("GAMD_COMPILE_ONLY"):
+        for batch in batch_iterator(train_data, train_cfg.batch_size,
+                                    shuffle=False):
+            train_step.lower(state, put(batch)).compile()
+            eval_step.lower(state, put(batch)).compile()
+            break
+        log_fn("compile_only: per-batch train/eval steps compiled and cached")
+        return state
+
     for epoch in range(train_cfg.start_epoch, train_cfg.max_epoch):
         last = {}
         for batch in batch_iterator(train_data, train_cfg.batch_size,
@@ -448,6 +457,26 @@ def _train_epoch_scan(model, system, train_cfg, tx, state, train_data,
             idx_va, mask_va = _precompute_nbrs(system, pos_va, log_fn)
 
     rng = jax.random.PRNGKey(train_cfg.seed + 1)
+    if os.environ.get("GAMD_COMPILE_ONLY"):
+        # Populate the persistent compile cache (chipless AOT helper) and
+        # exit without training — lets a queued run start hot while the
+        # chip is busy with another job.
+        _, _, k_epoch = jax.random.split(rng, 3)
+        if n_chunks == 1:
+            train_epoch.lower(state, pos_tr, force_tr, feat_tr, k_epoch,
+                              idx_tr, mask_tr).compile()
+        else:
+            sel = jnp.arange(chunk_frames)
+            train_epoch.lower(
+                state, pos_tr[sel], force_tr[sel],
+                None if feat_tr is None else feat_tr[sel], k_epoch,
+                None if idx_tr is None else idx_tr[sel],
+                None if mask_tr is None else mask_tr[sel]).compile()
+        if eval_epoch is not None:
+            eval_epoch.lower(state, pos_va, force_va, feat_va,
+                             idx_va, mask_va).compile()
+        log_fn("compile_only: epoch-scan programs compiled and cached")
+        return state
     # Resume support: replay the per-epoch RNG stream up to start_epoch so a
     # resumed run sees the same permutation/augment keys it would have.
     for _ in range(train_cfg.start_epoch):
