@@ -560,9 +560,16 @@ def _forward_body(scalars_ref, pos_pk_ref, idx_ref, bmask_ref,
 #: iota-compare rebuilds with VMEM reads.
 _OH_CACHE_BYTES = 24 * 2**20
 
-#: Static tile-loop unroll (see _forward_body.loop_tiles). Opt-in via
-#: GAMD_UNROLL_TILES=1 until the on-chip A/B lands; never auto-unrolls past
-#: _UNROLL_TILES_MAX tiles (code size).
+#: Static tile-loop unroll (see _forward_body.loop_tiles): DEFAULT ON for
+#: small tile counts since the round-4 on-chip A/B (+6%: 4,859 vs 4,578
+#: steps/s at tile 136, results/bench_unroll_r4.log) and the unrolled
+#: parity pass (results/check_kernels_r4b.log, GAMD_UNROLL_TILES=1).
+#: Independent per-tile dependency chains let Mosaic's list scheduler
+#: overlap one tile's VPU activations with another's MXU dots — the theta
+#: chain runs at 32% of its FLOP floor precisely because of that serial
+#: MXU->VPU->MXU dependency (results/bench_ablate_r3e.log). Never unrolls
+#: past _UNROLL_TILES_MAX tiles (compile size). GAMD_UNROLL_TILES=0
+#: disables.
 _UNROLL_TILES_MAX = 4
 
 
@@ -571,7 +578,7 @@ def _resolve_unroll(n_tiles: int) -> bool:
     env = os.environ.get("GAMD_UNROLL_TILES")
     if env is not None and env != "":
         return env not in ("0", "off", "false") and n_tiles <= _UNROLL_TILES_MAX
-    return False
+    return n_tiles <= _UNROLL_TILES_MAX
 
 
 def _fill_onehot(oh_scr, idx_ref, row_base, n_tiles, rows, n_pad):

