@@ -78,29 +78,12 @@ def main():
     pred = np.asarray(ff.predict_batch(np.float32(pos))) * to_ev_a
     err = pred - gt
 
+    from gamd_tpu.physics.pair_bias import pair_projection_profile
+
     edges = np.linspace(args.r_min, cutoff, args.n_bins + 1)
     centers = 0.5 * (edges[:-1] + edges[1:])
-    sum_b = np.zeros(args.n_bins)
-    sum_g = np.zeros(args.n_bins)
-    cnt = np.zeros(args.n_bins, dtype=np.int64)
-
-    for f in range(n):
-        p = np.mod(pos[f], box)
-        dr = p[None, :, :] - p[:, None, :]          # r_ij = p_j - p_i
-        dr -= box * np.round(dr / box)              # minimum image
-        r = np.linalg.norm(dr, axis=-1)
-        np.fill_diagonal(r, np.inf)
-        ii, jj = np.where((r >= args.r_min) & (r < cutoff))
-        rhat_ji = -dr[ii, jj] / r[ii, jj, None]     # unit vector j -> i
-        proj_e = np.einsum("pd,pd->p", err[f][ii], rhat_ji)
-        proj_g = np.einsum("pd,pd->p", gt[f][ii], rhat_ji)
-        b = np.clip(np.digitize(r[ii, jj], edges) - 1, 0, args.n_bins - 1)
-        sum_b += np.bincount(b, weights=proj_e, minlength=args.n_bins)
-        sum_g += np.bincount(b, weights=proj_g, minlength=args.n_bins)
-        cnt += np.bincount(b, minlength=args.n_bins)
-
-    bias = sum_b / np.maximum(cnt, 1)
-    gt_proj = sum_g / np.maximum(cnt, 1)
+    bias, cnt = pair_projection_profile(pos, err, box, edges)
+    gt_proj, _ = pair_projection_profile(pos, gt, box, edges)
     # Analytic (shifted-potential) LJ pair force magnitude along rhat:
     # f(r) = 24 eps (2 (sigma/r)^12 - (sigma/r)^6) / r  [kJ/mol/A] -> eV/A
     lj = LJParams()
