@@ -19,6 +19,7 @@ import glob
 import json
 import os
 import sys
+import time
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
@@ -151,8 +152,13 @@ def main():
     if constraint is not None:
         start_pos = constraint.project_initial(start_pos)
     st = sim.init_state(start_pos, rng=jax.random.PRNGKey(0))
+    t0 = time.perf_counter()
     result = sim.run_segmented(st, args.steps)
     jax.block_until_ready(result.state.pos)
+    rollout_s = time.perf_counter() - t0
+    print(f"GNN rollout: {args.steps} steps in {rollout_s:.1f} s "
+          f"({args.steps / rollout_s:.1f} steps/s incl. compile; "
+          f"integrator={args.integrator}, rigid={constraint is not None})")
     if bool(result.overflow):
         print("WARNING: neighbor overflow during rollout")
 
@@ -224,6 +230,7 @@ def main():
         "n_rollout_frames": int(frames.shape[0]),
         "n_gt_frames": int(gt_frames.shape[0]),
         "steps": args.steps,
+        "rollout_steps_per_s_incl_compile": float(args.steps / rollout_s),
     }
     for k, v in report.items():
         print(f"{k}: {v}")
