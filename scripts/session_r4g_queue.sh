@@ -34,4 +34,24 @@ for PAIR in "r3e results/ckpts/lj_highest_latest.msgpack" \
 done
 commit_results "results: pair-distance-resolved force bias, three LJ ckpts (r4f)"
 
+echo "=== [G] RIGID-WATER ROLLOUT PERF: XLA vs per-step megakernel $(date)"
+# VERDICT #6b: committed steps/s for the rigid-water Langevin rollout —
+# the path the water demo actually runs on. A/B the per-step megakernel
+# (parity evidence: check_kernels --water) against the XLA force path
+# at the reference rollout protocol (f=25/ps, 25k steps, 774 atoms).
+CKW=results/ckpts/tip3p_final.msgpack
+if [ -f "$CKW" ]; then
+  timeout 3600 python scripts/run_md.py --system tip3p --ckpt "$CKW" \
+    --integrator langevin --friction 25.0 --steps 25000 \
+    --log results/log_water_xla_r4f.txt \
+    > results/water_rollout_perf_xla_r4f.log 2>&1
+  echo "stepG-xla rc=$? $(grep 'steps/s' results/water_rollout_perf_xla_r4f.log)"
+  timeout 3600 python scripts/run_md.py --system tip3p --ckpt "$CKW" \
+    --integrator langevin --friction 25.0 --steps 25000 --megakernel \
+    --log results/log_water_mk_r4f.txt \
+    > results/water_rollout_perf_mk_r4f.log 2>&1
+  echo "stepG-mk rc=$? $(grep 'steps/s' results/water_rollout_perf_mk_r4f.log)"
+  commit_results "results: rigid-water Langevin rollout perf, XLA vs megakernel (r4f)"
+fi
+
 echo "=== QUEUE R4G DONE $(date)"
