@@ -39,6 +39,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from gamd_tpu.ops.kernel_util import trace_at_default_matmul_precision
+
 from gamd_tpu.core import space
 from gamd_tpu.ops.pallas_model import (MegaParams, decode_nodes,
                                        encode_edges, node_norm)
@@ -52,6 +54,7 @@ def _silu(x):
     return x * jax.nn.sigmoid(x)
 
 
+@trace_at_default_matmul_precision
 def _banded_msg_kernel(lo_ref, e_ref, idxl_ref, mask_ref, dstc_ref,
                        nodes_hi_hbm, nodes_lo_hbm,
                        w_e1_ref, b_e1_ref, w_e2_ref, b_e2_ref,

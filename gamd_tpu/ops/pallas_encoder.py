@@ -27,6 +27,8 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from gamd_tpu.ops.kernel_util import trace_at_default_matmul_precision
+
 
 def _gelu_exact(x):
     """tanh-approximation gelu: Mosaic has no erf lowering, and the approx
@@ -40,6 +42,7 @@ def _round_up(x, m):
     return -(-x // m) * m
 
 
+@trace_at_default_matmul_precision
 def _encoder_kernel(scalars_ref, pos_hi_ref, pos_lo_ref, idx_ref, bmask_ref,
                     centers_ref, w_geo_ref, w_rbf_ref, b0_ref,
                     w1_ref, b1_ref, w2_ref, b2_ref, ln_scale_ref, ln_bias_ref,

@@ -44,6 +44,8 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from gamd_tpu.ops.kernel_util import trace_at_default_matmul_precision
+
 
 def _round_up(x, m):
     return -(-x // m) * m
@@ -595,6 +597,7 @@ def _fill_onehot(oh_scr, idx_ref, row_base, n_tiles, rows, n_pad):
     jax.lax.fori_loop(0, n_tiles, tile, 0)
 
 
+@trace_at_default_matmul_precision
 def _mega_kernel(scalars_ref, pos_pk_ref, idx_ref, bmask_ref,
                  h0_ref, bond_ref, *rest,
                  tile_n: int, k: int, n_pad: int, n_tiles: int, n_rows: int,
@@ -622,6 +625,7 @@ def _mega_kernel(scalars_ref, pos_pk_ref, idx_ref, bmask_ref,
         oh_scr=oh_scr, unroll_tiles=unroll_tiles)
 
 
+@trace_at_default_matmul_precision
 def _mega_md_kernel(scalars_ref, seeds_ref, pos0_ref, vel0_ref, f0_ref,
                     idx_ref, bmask_ref, h0_ref, bond_ref, invm_ref, c2_ref,
                     m_ref, *rest,

@@ -32,6 +32,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from gamd_tpu.ops.kernel_util import trace_at_default_matmul_precision
+
 from gamd_tpu.ops.aggregate import gather_multiply_aggregate
 
 
@@ -43,6 +45,7 @@ def _silu(x):
 # Kernel 1: gather * gate -> masked K-sum
 # ---------------------------------------------------------------------------
 
+@trace_at_default_matmul_precision
 def _gather_agg_kernel(h_ref, e_ref, idx_ref, mask_ref, out_ref, *,
                        tile_n: int, k: int):
     """One grid step handles TILE_N nodes; h is fully VMEM-resident."""
@@ -97,6 +100,7 @@ def pallas_gather_multiply_aggregate(h, e, idx, mask, tile_n: int = 8,
 # Kernel 2: fused theta_edge MLP + message multiply + masked K-sum
 # ---------------------------------------------------------------------------
 
+@trace_at_default_matmul_precision
 def _fused_mlp_agg_kernel(pre_ref, hsrc_ref, mask_ref, w1_ref, b1_ref,
                           w2_ref, b2_ref, out_ref, *, tile_n: int, k: int):
     h_dim = w1_ref.shape[0]
@@ -204,6 +208,7 @@ fused_edge_mlp_aggregate.defvjp(_fused_fwd, _fused_bwd)
 # round-trip HBM, which the bisection profile showed dominates the step.
 # ---------------------------------------------------------------------------
 
+@trace_at_default_matmul_precision
 def _conv_msg_kernel(e_ref, hsrc_ref, srcc_ref, dstc_ref, mask_ref,
                      w1_ref, b1_ref, w2_ref, b2_ref,
                      w3_ref, b3_ref, w4_ref, b4_ref, out_ref, *,
@@ -361,6 +366,7 @@ fused_conv_message.defvjp(_conv_msg_fwd, _conv_msg_bwd)
 # one-hot is exact in bf16, so each matmul is exact row selection).
 # ---------------------------------------------------------------------------
 
+@trace_at_default_matmul_precision
 def _conv_msg_gather_kernel(e_ref, idx_ref, mask_ref, nodes_hi_ref,
                             nodes_lo_ref, dstc_ref,
                             w1_ref, b1_ref, w2_ref, b2_ref,
@@ -520,6 +526,7 @@ def _dsilu(x):
     return s * (1.0 + x * (1.0 - s))
 
 
+@trace_at_default_matmul_precision
 def _conv_msg_gather_bwd_kernel(
         g_ref, e_ref, idx_ref, mask_ref, nodes_hi_ref, nodes_lo_ref,
         dstc_ref, w1_ref, b1_ref, w2_ref, b2_ref, w3_ref, b3_ref,
@@ -724,6 +731,7 @@ fused_conv_gather_message.defvjp(_conv_gather_fwd, _conv_gather_bwd)
 # projections remain in XLA; all [N, K, *] work stays in VMEM.
 # ---------------------------------------------------------------------------
 
+@trace_at_default_matmul_precision
 def _conv_layer_kernel(e_ref, idx_ref, mask_ref, nodes_hi_ref, nodes_lo_ref,
                        dstc_ref, h_ref, hn_ref,
                        w1_ref, b1_ref, w2_ref, b2_ref,

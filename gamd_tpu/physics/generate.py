@@ -147,12 +147,19 @@ def generate_lj_dataset(out_dir, seeds=10, frames_per_seed=1000,
                         record_interval=50, n_particles=258,
                         minimize_steps=2000, log_every_frames=250,
                         frames_per_dispatch=250,
-                        params: lj.LJParams = lj.LJParams()):
+                        params: lj.LJParams = lj.LJParams(),
+                        seed_start=0, temperature=None):
     """Generate the LJ training set; returns the output directory
     (reference protocol: generate_lj_data.py:56-106 — rotate + jitter the
     lattice, minimize, NHC 10/5/5 at 100 K, 1000 frames x 50 steps)."""
     os.makedirs(out_dir, exist_ok=True)
-    system = get_preset("lj")
+    # temperature override: extra training seeds can be generated hotter
+    # than the canonical 100 K protocol to cover the repulsive core that
+    # Boltzmann sampling at 100 K rarely reaches (the r4 pair-bias
+    # analysis pins the LJ rollout over-structure partly on a softened
+    # learned core below r ~ 3.2 A, results/pair_bias_r3e_r4f.json).
+    system = (get_preset("lj") if temperature is None
+              else get_preset("lj", temperature=float(temperature)))
     box, lattice = lj.lj_fluid_box(n_particles, 0.5, params)
     md = MDConfig(integrator="nose_hoover", temperature=system.temperature,
                   dt_fs=system.dt_fs, friction_per_ps=system.friction_per_ps,
@@ -163,7 +170,7 @@ def generate_lj_dataset(out_dir, seeds=10, frames_per_seed=1000,
     sim = Simulation(force_fn, system, md)
     dense_force = jax.jit(lambda p: lj.lj_forces_dense(p, box, params))
 
-    for seed in range(seeds):
+    for seed in range(seed_start, seed_start + seeds):
         host_rng = np.random.RandomState(seed)
         # Rotate + jitter the lattice (generate_lj_data.py:59-65).
         r_mat = random_rotation_matrix(host_rng)
@@ -185,7 +192,7 @@ def generate_water_dataset(out_dir, seeds=10, frames_per_seed=1000,
                            record_interval=50, n_molecules=258,
                            minimize_steps=3000, dt_fs=None, rigid=True,
                            log_every_frames=250, frames_per_dispatch=250,
-                           electrostatics="ewald"):
+                           electrostatics="ewald", seed_start=0):
     """TIP3P water ground truth in the reference layout
     (reference: /root/reference/dataset/generate_tip3p_data.py: WaterBox
     2 nm, T = 300 K, friction 1/ps, NHC chain 10/5/5, 1000 frames x 50
@@ -235,7 +242,7 @@ def generate_water_dataset(out_dir, seeds=10, frames_per_seed=1000,
         minimize_force = jax.jit(lambda p: w.tip3p_forces(p, box, params))
 
     states = []
-    for seed in range(seeds):
+    for seed in range(seed_start, seed_start + seeds):
         pos = w.water_box(n_molecules, box, params, seed=seed)
         pos, _ = fire_minimize(minimize_force, jnp.asarray(pos),
                                n_steps=minimize_steps, max_step=0.05)
@@ -248,7 +255,8 @@ def generate_water_dataset(out_dir, seeds=10, frames_per_seed=1000,
     # openmmtools' pre-equilibrated WaterBox liquid).
     states = jax.jit(jax.vmap(lambda st: sim.run(st, 5000).state))(states)
     _record_seeds_batched(sim, states, out_dir,
-                          list(range(seeds)), frames_per_seed,
+                          list(range(seed_start, seed_start + seeds)),
+                          frames_per_seed,
                           record_interval, record_force,
                           frames_per_dispatch, log_every_frames)
     return out_dir

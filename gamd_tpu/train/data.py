@@ -41,14 +41,25 @@ class TrajectoryDataset:
 
     def __init__(self, dataset_path, sample_num=1000, seed_num=10,
                  mode="train", data_type="lj", case_prefix="data_",
-                 split=(0.9, 0.1), pack_cache: Optional[str] = None):
+                 split=(0.9, 0.1), pack_cache: Optional[str] = None,
+                 extra_seed_num=0):
+        """extra_seed_num: trajectories beyond the canonical seed_num
+        (files data_{seed_num}_{t}.npz ...) appended to the TRAIN set only.
+        The reference 90/10 split over the first seed_num*sample_num frames
+        is untouched, so the held-out eval set stays byte-identical to the
+        10-seed protocol while training sees more data."""
         assert mode in ("train", "test")
         self.dataset_path = dataset_path
         self.sample_num = sample_num
         self.seed_num = seed_num
+        self.extra_seed_num = extra_seed_num
         self.data_type = data_type
         self.case_prefix = case_prefix
         train_idx, test_idx = reference_split(seed_num * sample_num, split[0])
+        if mode == "train" and extra_seed_num:
+            extra = np.arange(seed_num * sample_num,
+                              (seed_num + extra_seed_num) * sample_num)
+            train_idx = np.concatenate([train_idx, extra])
         self.idx = train_idx if mode == "train" else test_idx
 
         self._packed = None
@@ -95,9 +106,17 @@ class TrajectoryDataset:
         the reference re-opens thousands of npz files per epoch through
         torch DataLoader workers). Uses the native multithreaded packer
         (csrc/gamd_io.cpp) when the toolchain is available."""
+        total_seeds = self.seed_num + self.extra_seed_num
         if os.path.exists(cache_path):
             with np.load(cache_path, mmap_mode="r") as z:
-                return z["pos"], z["forces"]
+                pos, forces = z["pos"], z["forces"]
+            if pos.shape[0] != total_seeds * self.sample_num:
+                raise ValueError(
+                    f"pack cache {cache_path} holds {pos.shape[0]} frames "
+                    f"but the dataset spans {total_seeds * self.sample_num} "
+                    f"(seed_num={self.seed_num}, extra={self.extra_seed_num})"
+                    " — delete the stale cache or use a distinct cache path")
+            return pos, forces
 
         from gamd_tpu.train import native_io
         drop_m = self.data_type == "tip4p"
@@ -107,7 +126,7 @@ class TrajectoryDataset:
             n_atoms = probe["pos"].shape[0]
             try:
                 pos, forces = native_io.pack_trajectory(
-                    self.dataset_path, self.seed_num, self.sample_num,
+                    self.dataset_path, total_seeds, self.sample_num,
                     n_atoms, drop_m_site=drop_m, prefix=self.case_prefix)
             except RuntimeError as e:
                 # The csrc packer reads the STORED/v1.0 npz subset only;
@@ -115,7 +134,7 @@ class TrajectoryDataset:
                 print(f"native packer failed ({e}); numpy fallback")
         if pos is None:
             all_pos, all_forces = [], []
-            for flat in range(self.seed_num * self.sample_num):
+            for flat in range(total_seeds * self.sample_num):
                 frame = self._read_raw(flat)
                 all_pos.append(frame["pos"])
                 all_forces.append(frame["forces"])

@@ -92,9 +92,21 @@ def _apply_model(model, params, batch_stats, inputs, train, rngs):
 
 
 def make_train_step(model, system: SystemConfig, train_cfg: TrainConfig,
-                    tx, jit: bool = True):
+                    tx, jit: bool = True, relabel_fn=None):
     """Returns train_step(state, batch) -> (state, metrics), jitted unless
-    jit=False (the epoch scanner embeds the un-jitted body)."""
+    jit=False (the epoch scanner embeds the un-jitted body).
+
+    relabel_fn: optional pos [N, 3] -> forces [N, 3] (dataset units)
+    classical oracle. When given, the ground-truth label is RECOMPUTED at
+    the augmented (rotated + jittered) positions each step instead of
+    reusing the frame's stored label. The reference's jitter
+    (train_network_lj.py:228) keeps the stale label — injecting label
+    noise proportional to sigma; exact relabeling removes that noise
+    entirely, so sigma can be raised far beyond the reference's 0.005 A
+    to teach the model genuine off-manifold forces (the states an MD
+    rollout actually visits). First-party capability: this framework owns
+    the ground-truth generator (physics/), the reference depended on
+    OpenMM at generation time only."""
 
     def train_step(state: TrainState, batch):
         rng = jax.random.fold_in(state.rng, state.step)
@@ -138,6 +150,13 @@ def make_train_step(model, system: SystemConfig, train_cfg: TrainConfig,
 
         # -- jitter after the search (reference: train_network_lj.py:228) -
         pos = augment.jitter_positions(k_jit, pos, train_cfg.jitter_sigma)
+
+        if relabel_fn is not None:
+            # Exact labels at the jittered positions (see docstring). The
+            # neighbor lists stay pre-jitter (reference contract); only the
+            # label is refreshed, at full precision regardless of the
+            # training matmul policy.
+            gt = jax.vmap(relabel_fn)(pos)
 
         # -- streaming scalers (global-batch reduction) --------------------
         dist = _edge_distances(pos, idx, box)
@@ -202,7 +221,7 @@ def make_train_step(model, system: SystemConfig, train_cfg: TrainConfig,
 
 
 def make_train_epoch(model, system: SystemConfig, train_cfg: TrainConfig,
-                     tx, n_frames: int):
+                     tx, n_frames: int, relabel_fn=None):
     """Whole-epoch device program: shuffle + scan over batches in ONE call.
 
     On this environment's tunneled TPU every host->device dispatch costs
@@ -213,7 +232,8 @@ def make_train_epoch(model, system: SystemConfig, train_cfg: TrainConfig,
     Returns train_epoch(state, pos_all [M,N,3], force_all [M,N,3],
     feat_all or None, epoch_rng) -> (state, mean_metrics).
     """
-    step_fn = make_train_step(model, system, train_cfg, tx, jit=False)
+    step_fn = make_train_step(model, system, train_cfg, tx, jit=False,
+                              relabel_fn=relabel_fn)
     b = train_cfg.batch_size
     n_batches = n_frames // b
 
@@ -307,7 +327,7 @@ def make_eval_step(model, system: SystemConfig, jit: bool = True):
 def train(system: SystemConfig, model_cfg: ModelConfig,
           train_cfg: TrainConfig, train_data, val_data=None,
           ckpt_dir: Optional[str] = None, mesh=None, log_fn=print,
-          state: Optional[TrainState] = None):
+          state: Optional[TrainState] = None, relabel_fn=None):
     """Epoch driver. Returns the final TrainState.
 
     If `mesh` is given, batches are sharded over its 'dp' axis (the batch
@@ -326,9 +346,10 @@ def train(system: SystemConfig, model_cfg: ModelConfig,
     if mesh is None and system.box is not None:
         return _train_epoch_scan(model, system, train_cfg, tx, state,
                                  train_data, val_data, ckpt_dir, log_fn,
-                                 model_cfg)
+                                 model_cfg, relabel_fn=relabel_fn)
 
-    train_step = make_train_step(model, system, train_cfg, tx)
+    train_step = make_train_step(model, system, train_cfg, tx,
+                                 relabel_fn=relabel_fn)
     eval_step = make_eval_step(model, system)
 
     sharding = None
@@ -421,7 +442,8 @@ def _precompute_nbrs(system, pos_all, log_fn):
 
 
 def _train_epoch_scan(model, system, train_cfg, tx, state, train_data,
-                      val_data, ckpt_dir, log_fn, model_cfg=None):
+                      val_data, ckpt_dir, log_fn, model_cfg=None,
+                      relabel_fn=None):
     """Epoch driver on the epoch-scan path.
 
     Epochs run as a SMALL number of device dispatches: one where possible,
@@ -441,7 +463,7 @@ def _train_epoch_scan(model, system, train_cfg, tx, state, train_data,
     # permanently exclude the tail frames from every epoch).
     train_epoch = make_train_epoch(model, system, train_cfg, tx,
                                    n_frames if n_chunks == 1 else
-                                   chunk_frames)
+                                   chunk_frames, relabel_fn=relabel_fn)
 
     idx_tr = mask_tr = None
     if getattr(train_cfg, "precompute_nbrs", False):

@@ -20,6 +20,13 @@ def main():
                         choices=["lj", "tip3p", "tip4p", "rpbe"])
     parser.add_argument("--out", default="./md_dataset/lj_data")
     parser.add_argument("--seeds", default=10, type=int)
+    parser.add_argument("--temperature", default=None, type=float,
+                        help="LJ generation temperature override (K); "
+                             "extra high-T seeds cover the repulsive core")
+    parser.add_argument("--seed_start", default=0, type=int,
+                        help="first trajectory seed index (extra training "
+                             "seeds beyond the canonical 10 are generated "
+                             "with --seed_start 10 into the same dir)")
     parser.add_argument("--frames", default=1000, type=int)
     parser.add_argument("--interval", default=50, type=int)
     parser.add_argument("--particles", default=258, type=int)
@@ -54,7 +61,9 @@ def main():
                             frames_per_seed=args.frames,
                             record_interval=args.interval,
                             n_particles=args.particles,
-                            frames_per_dispatch=args.dispatch_frames)
+                            frames_per_dispatch=args.dispatch_frames,
+                            seed_start=args.seed_start,
+                            temperature=args.temperature)
     elif args.system == "tip4p":
         from gamd_tpu.physics.generate import generate_tip4p_dataset
         generate_tip4p_dataset(args.out, seeds=args.seeds,
@@ -71,7 +80,8 @@ def main():
                                n_molecules=args.particles if args.particles != 258 else 258,
                                rigid=not args.flexible,
                                frames_per_dispatch=args.dispatch_frames,
-                               electrostatics=args.electrostatics)
+                               electrostatics=args.electrostatics,
+                               seed_start=args.seed_start)
     print(f"Wrote {args.seeds * args.frames} frames to {args.out}")
 
 

@@ -56,6 +56,10 @@ def main():
     parser.add_argument("--data_dir", default="./md_dataset")
     parser.add_argument("--sample_num", default=1000, type=int,
                         help="frames per seed in the dataset")
+    parser.add_argument("--extra_seeds", default=0, type=int,
+                        help="extra train-only trajectory seeds appended "
+                             "beyond --seed_num (the canonical 90/10 split "
+                             "and its held-out eval set are unchanged)")
     parser.add_argument("--seed_num", default=10, type=int,
                         help="number of generation seeds in the dataset")
     parser.add_argument("--precompute_nbrs", action="store_true",
@@ -73,6 +77,13 @@ def main():
                              "(0 = exact reference loss)")
     parser.add_argument("--num_device", default=-1, type=int,
                         help="devices for data parallelism (-1 = all)")
+    parser.add_argument("--relabel", action="store_true",
+                        help="recompute ground-truth labels at the "
+                             "augmented positions with the first-party "
+                             "classical oracle each step (lj: dense LJ; "
+                             "tip3p: rigid Ewald — dataset must be Ewald-"
+                             "generated). Removes jitter label noise, so "
+                             "combine with a larger --jitter_sigma")
     parser.add_argument("--jitter_sigma", default=None, type=float,
                         help="override position-jitter sigma (A)")
     parser.add_argument("--cpu", action="store_true",
@@ -145,14 +156,18 @@ def main():
         # when available) so epochs iterate from one in-memory array.
         cache = None
         if not args.no_pack:
-            cache = os.path.join(path, "_packed_cache.npz")
+            name = ("_packed_cache.npz" if not args.extra_seeds else
+                    f"_packed_cache_s{args.seed_num + args.extra_seeds}.npz")
+            cache = os.path.join(path, name)
         train_data = TrajectoryDataset(path, mode="train", data_type=data_type,
                                        sample_num=args.sample_num,
                                        seed_num=args.seed_num,
+                                       extra_seed_num=args.extra_seeds,
                                        pack_cache=cache)
         val_data = TrajectoryDataset(path, mode="test", data_type=data_type,
                                      sample_num=args.sample_num,
                                      seed_num=args.seed_num,
+                                     extra_seed_num=args.extra_seeds,
                                      pack_cache=cache)
 
     n_dev = len(jax.devices()) if args.num_device == -1 else args.num_device
@@ -172,8 +187,46 @@ def main():
         state = load_checkpoint(args.state_ckpt_dir, template)
         print(f"Resumed from {args.state_ckpt_dir}")
 
+    relabel_fn = None
+    if args.relabel:
+        # Oracle outputs are internal kJ/mol/A; the dataset (and therefore
+        # the label stream the step consumes) is kJ/mol/nm — the same
+        # conversion generation applies when recording
+        # (physics/generate.py KJ_MOL_NM_TO_INTERNAL divide).
+        from gamd_tpu.core import units as _units
+        to_ds = 1.0 / _units.KJ_MOL_NM_TO_INTERNAL
+        if args.system == "lj":
+            from gamd_tpu.physics import lennard_jones as lj
+            params = lj.LJParams()
+            # The oracle must reproduce the dataset's potential EXACTLY:
+            # generation derives its box from the density target
+            # (27.27065 A), while the preset carries the reference's
+            # rounded 27.27 — a 0.024% mismatch that costs ~1% max force
+            # error near the core (measured). Use the generation box.
+            box, _ = lj.lj_fluid_box(system.n_atoms, 0.5, params)
+
+            def relabel_fn(p):
+                with jax.default_matmul_precision("highest"):
+                    return lj.lj_forces_dense(p, box, params) * to_ds
+        elif args.system == "tip3p":
+            from gamd_tpu.physics import ewald as _ewald
+            from gamd_tpu.physics import water as w
+            box = system.box
+            ew = _ewald.make_ewald_params(box)
+            wparams = w.TIP3PParams()
+
+            def relabel_fn(p):
+                with jax.default_matmul_precision("highest"):
+                    return -jax.grad(w.tip3p_energy_rigid_ewald)(
+                        p, box, ew, wparams) * to_ds
+        else:
+            parser.error("--relabel supports lj and tip3p only")
+        print("Exact-relabel augmentation: classical oracle labels at "
+              f"jittered positions (sigma={train_cfg.jitter_sigma} A)")
+
     train(system, model_cfg, train_cfg, train_data, val_data,
-          ckpt_dir=args.cp_dir, mesh=mesh, state=state)
+          ckpt_dir=args.cp_dir, mesh=mesh, state=state,
+          relabel_fn=relabel_fn)
 
 
 if __name__ == "__main__":

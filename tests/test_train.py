@@ -90,6 +90,41 @@ def test_trajectory_dataset_roundtrip(tmp_path):
     assert len(ds_test) == 1
 
 
+def test_trajectory_dataset_extra_seeds(tmp_path):
+    """extra_seed_num appends whole trajectories to TRAIN only; the
+    canonical split (and therefore the held-out eval set) is unchanged."""
+    d = tmp_path / "lj_data"
+    d.mkdir()
+    rng = np.random.RandomState(0)
+    for seed in range(3):
+        for t in range(5):
+            np.savez(d / f"data_{seed}_{t}.npz",
+                     pos=rng.randn(8, 3).astype(np.float32),
+                     vel=rng.randn(8, 3).astype(np.float32),
+                     forces=rng.randn(8, 3).astype(np.float32))
+    base = TrajectoryDataset(str(d), sample_num=5, seed_num=2, mode="train")
+    ext = TrajectoryDataset(str(d), sample_num=5, seed_num=2, mode="train",
+                            extra_seed_num=1)
+    assert len(ext) == len(base) + 5
+    np.testing.assert_array_equal(ext.idx[:len(base)], base.idx)
+    assert set(ext.idx[len(base):]) == set(range(10, 15))
+    t_base = TrajectoryDataset(str(d), sample_num=5, seed_num=2, mode="test")
+    t_ext = TrajectoryDataset(str(d), sample_num=5, seed_num=2, mode="test",
+                              extra_seed_num=1)
+    np.testing.assert_array_equal(t_base.idx, t_ext.idx)
+    # Pack cache spans the extended set and a stale-size cache is rejected.
+    cache = str(tmp_path / "pack_s3.npz")
+    packed = TrajectoryDataset(str(d), sample_num=5, seed_num=2,
+                               mode="train", extra_seed_num=1,
+                               pack_cache=cache)
+    np.testing.assert_allclose(packed[len(base)]["pos"],
+                               ext[len(base)]["pos"])
+    import pytest
+    with pytest.raises(ValueError, match="stale"):
+        TrajectoryDataset(str(d), sample_num=5, seed_num=2, mode="train",
+                          pack_cache=cache)
+
+
 def test_tip4p_m_site_dropping(tmp_path):
     d = tmp_path / "tip4p_data"
     d.mkdir()
@@ -168,6 +203,45 @@ def test_train_step_runs_and_loss_decreases():
     assert int(state.step) == 60
     assert float(state.force_stat.count) > 0
     assert float(state.length_stat.safe_mean) > 0
+
+
+def test_train_step_exact_relabel():
+    """--relabel path: labels recomputed at the augmented positions.
+
+    With jitter_sigma=0 and rotation off, the relabeled ground truth must
+    match the stored labels exactly (same classical oracle at the same
+    positions), so the two steps produce identical loss from identical
+    states; with jitter on, the relabeled step must still run and the
+    recomputed labels follow the jittered positions."""
+    system, frames = make_lj_frames(n_frames=4)
+    params = lj.LJParams(cutoff=system.cutoff)
+    box = system.box
+
+    def relabel_fn(p):
+        return lj.lj_forces_dense(p, box, params) / 0.1  # match units
+
+    model = build_model(TINY, system)
+    batch = {k: jnp.asarray(np.stack([f[k] for f in frames[:2]]))
+             for k in frames[0]}
+
+    cfg0 = TrainConfig(max_epoch=1, batch_size=2, rotate_aug=False,
+                       jitter_sigma=0.0)
+    tx = make_optimizer(cfg0, 1)
+    state = create_train_state(model, system, cfg0, 1)
+    _, m_plain = make_train_step(model, system, cfg0, tx)(state, batch)
+    _, m_rel = make_train_step(model, system, cfg0, tx,
+                               relabel_fn=relabel_fn)(state, batch)
+    np.testing.assert_allclose(float(m_plain["loss"]), float(m_rel["loss"]),
+                               rtol=1e-5)
+
+    cfg_j = TrainConfig(max_epoch=1, batch_size=2, rotate_aug=True,
+                        jitter_sigma=0.02)
+    txj = make_optimizer(cfg_j, 1)
+    state_j = create_train_state(model, system, cfg_j, 1)
+    st2, m_j = make_train_step(model, system, cfg_j, txj,
+                               relabel_fn=relabel_fn)(state_j, batch)
+    assert np.isfinite(float(m_j["loss"]))
+    assert int(st2.step) == 1
 
 
 def test_eval_step_metrics():
