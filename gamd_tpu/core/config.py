@@ -121,6 +121,13 @@ class ModelConfig:
                                     # the TPU-native replacement for the
                                     # reference's apex AMP O1
                                     # (train_network_lj.py:378-379)
+    longrange: str = ""             # '' (pure GNN, reference parity) or
+                                    # 'ewald_recip': the GNN was trained on
+                                    # label - analytic k-space Ewald force;
+                                    # GNNForceField adds the analytic term
+                                    # back at eval/deploy (physics/ewald.py
+                                    # recip_energy). Self-describing via the
+                                    # checkpoint envelope.
 
     @property
     def n_rbf(self) -> int:

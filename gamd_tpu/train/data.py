@@ -143,6 +143,26 @@ class TrajectoryDataset:
         np.savez(cache_path, pos=pos, forces=forces)
         return pos, forces
 
+    def subtract_from_labels(self, offset_fn, chunk: int = 128):
+        """Subtract ``offset_fn([B, N, 3] pos) -> [B, N, 3]`` (dataset force
+        units) from every force label, IN MEMORY only — the on-disk pack
+        cache keeps the raw labels so other runs are unaffected.
+
+        Used by the analytic long-range channel (``--longrange``): the GNN
+        trains on the short-range residual; GNNForceField adds the analytic
+        k-space term back at deployment (physics/ewald.py recip_energy).
+        Requires the pack cache (per-frame lazy reads would recompute the
+        offset every epoch)."""
+        if self._packed is None:
+            raise ValueError("subtract_from_labels requires the packed "
+                             "dataset cache (drop --no_pack)")
+        pos, forces = self._packed
+        pos = np.asarray(pos)
+        forces = np.array(forces, copy=True)
+        for i in range(0, pos.shape[0], chunk):
+            forces[i:i + chunk] -= np.asarray(offset_fn(pos[i:i + chunk]))
+        self._packed = (pos, forces)
+
     def __getitem__(self, i):
         frame = self._read_raw(int(self.idx[i]))
         if self.particle_type_one_hot is not None:

@@ -39,6 +39,27 @@ class GNNForceField:
         self.length_stat = state.length_stat
         feat = system.species_onehot()
         self._feat = None if feat is None else jnp.asarray(feat)[None]
+        # Analytic long-range channel: checkpoints trained with
+        # ModelConfig.longrange learned the SHORT-RANGE residual only; the
+        # k-space Ewald force is added back here, so every consumer of the
+        # self-describing envelope (evaluate / run_md / analyze_rollout)
+        # stays correct with no flag plumbing.
+        self._longrange_fn = (self._build_longrange()
+                              if getattr(model_cfg, "longrange", "")
+                              else None)
+
+    def _build_longrange(self):
+        kind = self.model_cfg.longrange
+        if kind != "ewald_recip":
+            raise ValueError(f"unknown longrange channel {kind!r}")
+        if self.system.name != "tip3p" or self.system.box is None:
+            raise ValueError(
+                "longrange='ewald_recip' supports the fixed-box tip3p "
+                "preset only (3-site water: charges live on real atoms)")
+        from gamd_tpu.physics.ewald import make_recip_force_fn
+        from gamd_tpu.physics.water import TIP3PParams, atom_charges
+        q = atom_charges(self.system.n_atoms // 3, TIP3PParams())
+        return make_recip_force_fn(float(self.system.box), q)
 
     def _forward(self, pos, idx, mask, box):
         """Normalized force prediction for a single frame."""
@@ -69,11 +90,22 @@ class GNNForceField:
         """
         unit = self.system.force_unit_to_internal
         if megakernel:
-            return self._megakernel_force_fn(unit, tile_n, interpret)
+            base = self._megakernel_force_fn(unit, tile_n, interpret)
+            if self._longrange_fn is None:
+                return base
+            lr = self._longrange_fn
+
+            def fn_mk(pos, idx, mask):
+                return base(pos, idx, mask) + lr(pos)
+            fn_mk.handles_refresh = base.handles_refresh
+            return fn_mk
+
+        lr = self._longrange_fn
 
         def fn(pos, idx, mask):
             pred = self._forward(pos, idx, mask, self.system.box)
-            return denormalize(pred, self.force_stat) * unit
+            out = denormalize(pred, self.force_stat) * unit
+            return out if lr is None else out + lr(pos)
         return fn
 
     def _node_h0(self):
@@ -129,6 +161,9 @@ class GNNForceField:
         from gamd_tpu.ops.banded import make_banded_force_fn
         from gamd_tpu.ops.pallas_model import pack_params
 
+        if self._longrange_fn is not None:
+            raise ValueError("banded path does not compose the analytic "
+                             "longrange channel; use force_fn()")
         cfg = self.model_cfg
         system = self.system
         if system.box is None or not cfg.expand_edge or cfg.update_edge:
@@ -170,6 +205,11 @@ class GNNForceField:
         """
         from gamd_tpu.ops.pallas_model import mega_md_steps, pack_params
 
+        if self._longrange_fn is not None:
+            raise ValueError("megastep keeps whole MD windows inside one "
+                             "Pallas program and cannot add the analytic "
+                             "longrange term between steps; use the "
+                             "per-step force_fn paths")
         cfg = self.model_cfg
         system = self.system
         if system.box is None or not cfg.expand_edge or cfg.update_edge:
@@ -208,7 +248,11 @@ class GNNForceField:
         idx, mask, _ = dense_neighbor_list(
             pos, box, self.system.cutoff, self.system.nbr_capacity)
         pred = self._forward(pos, idx, mask, box)
-        return denormalize(pred, self.force_stat)
+        out = denormalize(pred, self.force_stat)
+        if self._longrange_fn is not None:
+            out = out + self._longrange_fn(pos) \
+                / self.system.force_unit_to_internal
+        return out
 
     def predict_batch(self, pos_all, batch_size: int = 16):
         """Predict forces for a whole trajectory in ONE device dispatch
@@ -235,8 +279,12 @@ class GNNForceField:
             posw = jnp.mod(pos, box)
             idx, mask, _ = dense_neighbor_list(
                 posw, box, self.system.cutoff, self.system.nbr_capacity)
-            return denormalize(self._forward(posw, idx, mask, box),
-                               self.force_stat)
+            out = denormalize(self._forward(posw, idx, mask, box),
+                              self.force_stat)
+            if self._longrange_fn is not None:
+                out = out + self._longrange_fn(posw) \
+                    / self.system.force_unit_to_internal
+            return out
 
         @jax.jit
         def run(frames):

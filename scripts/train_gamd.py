@@ -86,6 +86,13 @@ def main():
                              "combine with a larger --jitter_sigma")
     parser.add_argument("--jitter_sigma", default=None, type=float,
                         help="override position-jitter sigma (A)")
+    parser.add_argument("--longrange", action="store_true",
+                        help="tip3p only: train the GNN on the SHORT-RANGE "
+                             "residual (label minus the analytic k-space "
+                             "Ewald force, physics/ewald.py recip_energy); "
+                             "the checkpoint self-describes and every "
+                             "consumer adds the analytic term back. "
+                             "Requires an Ewald-generated dataset")
     parser.add_argument("--cpu", action="store_true",
                         help="force the CPU backend (the axon TPU plugin "
                              "ignores JAX_PLATFORMS)")
@@ -123,7 +130,13 @@ def main():
         expand_edge=args.expand_edge,
         flip_dir=(args.system == "dft"),
         use_pallas=args.use_pallas,
+        longrange=("ewald_recip" if args.longrange else ""),
     )
+    if args.longrange and args.system != "tip3p":
+        parser.error("--longrange supports tip3p only (3-site water: "
+                     "charges live on real atoms)")
+    if args.longrange and args.no_pack:
+        parser.error("--longrange requires the packed dataset cache")
     # LAMBDA2 differs for the DFT config (reference:
     # train_network_real_large.py:30 vs train_network_lj.py:35).
     train_cfg = TrainConfig(
@@ -223,6 +236,25 @@ def main():
             parser.error("--relabel supports lj and tip3p only")
         print("Exact-relabel augmentation: classical oracle labels at "
               f"jittered positions (sigma={train_cfg.jitter_sigma} A)")
+
+    if args.longrange:
+        from gamd_tpu.core import units as _units
+        from gamd_tpu.physics import ewald as _ewald
+        from gamd_tpu.physics import water as w
+        to_ds = 1.0 / _units.KJ_MOL_NM_TO_INTERNAL
+        q = w.atom_charges(system.n_atoms // 3, w.TIP3PParams())
+        lr = _ewald.make_recip_force_fn(float(system.box), q)
+        lr_batch = jax.jit(jax.vmap(lambda p: lr(p) * to_ds))
+        print("Long-range split: subtracting the analytic k-space Ewald "
+              "force from the labels (GNN learns the short-range residual; "
+              "deployment adds the analytic term back)")
+        for ds in (train_data, val_data):
+            ds.subtract_from_labels(lr_batch)
+        if relabel_fn is not None:
+            base_relabel = relabel_fn
+
+            def relabel_fn(p):
+                return base_relabel(p) - lr(p) * to_ds
 
     train(system, model_cfg, train_cfg, train_data, val_data,
           ckpt_dir=args.cp_dir, mesh=mesh, state=state,
