@@ -356,6 +356,37 @@ def tip4pew_energy_ewald(pos, box, ew,
     return e_bond + e_angle + tip4pew_energy_rigid_ewald(pos, box, ew, params)
 
 
+def make_tip4p_recip_force_fn(box: float, n_atoms: int,
+                              params: TIP4PEwParams = TIP4PEwParams(),
+                              cutoff: float = 10.0,
+                              tolerance: float = 1.0e-5,
+                              recip_tol: float = 1.0e-7):
+    """Analytic k-space Ewald force on REAL atoms for TIP4P-Ew
+    (``pos [N, 3] angstrom -> [N, 3] kJ/mol/A``).
+
+    The charges live on the derived M/H sites; differentiating through
+    ``tip4pew_m_sites`` redistributes the M-site reciprocal force onto
+    O/H exactly like the full oracle does. Long-range channel counterpart
+    of ewald.make_recip_force_fn for the 4-site model
+    (ModelConfig.longrange == 'ewald_recip' on the tip4p preset)."""
+    assert n_atoms % 3 == 0
+    m = n_atoms // 3
+    ew = _ewald.make_ewald_params(box, cutoff, tolerance, recip_tol)
+    p = params
+    q = jnp.tile(jnp.array([p.q_m, p.q_h, p.q_h]), m)
+
+    def energy(pos):
+        o, h1, h2 = pos[0::3], pos[1::3], pos[2::3]
+        msite = tip4pew_m_sites(o, h1, h2, box, p)
+        sites = jnp.stack([msite, h1, h2], axis=1).reshape(3 * m, 3)
+        return _ewald.recip_energy(sites, q, ew)
+
+    def force(pos):
+        with jax.default_matmul_precision("highest"):
+            return -jax.grad(energy)(pos)
+    return force
+
+
 def tip4pew_forces(pos, box, params: TIP4PEwParams = TIP4PEwParams()):
     return -jax.grad(tip4pew_energy)(pos, box, params)
 

@@ -52,10 +52,15 @@ class GNNForceField:
         kind = self.model_cfg.longrange
         if kind != "ewald_recip":
             raise ValueError(f"unknown longrange channel {kind!r}")
-        if self.system.name != "tip3p" or self.system.box is None:
+        if self.system.name not in ("tip3p", "tip4p") \
+                or self.system.box is None:
             raise ValueError(
-                "longrange='ewald_recip' supports the fixed-box tip3p "
-                "preset only (3-site water: charges live on real atoms)")
+                "longrange='ewald_recip' supports the fixed-box tip3p / "
+                "tip4p presets only")
+        if self.system.name == "tip4p":
+            from gamd_tpu.physics.water import make_tip4p_recip_force_fn
+            return make_tip4p_recip_force_fn(float(self.system.box),
+                                             self.system.n_atoms)
         from gamd_tpu.physics.ewald import make_recip_force_fn
         from gamd_tpu.physics.water import TIP3PParams, atom_charges
         q = atom_charges(self.system.n_atoms // 3, TIP3PParams())

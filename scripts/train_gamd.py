@@ -132,9 +132,9 @@ def main():
         use_pallas=args.use_pallas,
         longrange=("ewald_recip" if args.longrange else ""),
     )
-    if args.longrange and args.system != "tip3p":
-        parser.error("--longrange supports tip3p only (3-site water: "
-                     "charges live on real atoms)")
+    if args.longrange and args.system not in ("tip3p", "tip4p"):
+        parser.error("--longrange supports tip3p and tip4p (fixed-box "
+                     "water presets) only")
     if args.longrange and args.no_pack:
         parser.error("--longrange requires the packed dataset cache")
     # LAMBDA2 differs for the DFT config (reference:
@@ -242,8 +242,12 @@ def main():
         from gamd_tpu.physics import ewald as _ewald
         from gamd_tpu.physics import water as w
         to_ds = 1.0 / _units.KJ_MOL_NM_TO_INTERNAL
-        q = w.atom_charges(system.n_atoms // 3, w.TIP3PParams())
-        lr = _ewald.make_recip_force_fn(float(system.box), q)
+        if args.system == "tip4p":
+            lr = w.make_tip4p_recip_force_fn(float(system.box),
+                                             system.n_atoms)
+        else:
+            q = w.atom_charges(system.n_atoms // 3, w.TIP3PParams())
+            lr = _ewald.make_recip_force_fn(float(system.box), q)
         lr_batch = jax.jit(jax.vmap(lambda p: lr(p) * to_ds))
         print("Long-range split: subtracting the analytic k-space Ewald "
               "force from the labels (GNN learns the short-range residual; "

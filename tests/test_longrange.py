@@ -121,6 +121,49 @@ def test_forcefield_longrange_composition():
         ff_lr.banded_force_fn()
 
 
+def test_tip4p_recip_force():
+    """TIP4P k-space channel: finite-difference consistent, with the M-site
+    force redistributed onto real atoms (H rows receive force even though
+    the O charge is zero)."""
+    from gamd_tpu.physics.water import make_tip4p_recip_force_fn
+
+    pos, _, box = _small_water(seed=4)
+    fn = make_tip4p_recip_force_fn(box, pos.shape[0], cutoff=3.0)
+    f = fn(pos)
+    assert bool(jnp.isfinite(f).all())
+
+    from gamd_tpu.physics.water import (TIP4PEwParams, tip4pew_m_sites)
+    from gamd_tpu.physics.ewald import make_ewald_params
+    p = TIP4PEwParams()
+    ew = make_ewald_params(box, cutoff=3.0)
+    m = pos.shape[0] // 3
+    q = jnp.tile(jnp.array([p.q_m, p.q_h, p.q_h]), m)
+
+    def e(pp):
+        o, h1, h2 = pp[0::3], pp[1::3], pp[2::3]
+        sites = jnp.stack([tip4pew_m_sites(o, h1, h2, box, p), h1, h2],
+                          axis=1).reshape(3 * m, 3)
+        return float(recip_energy(sites, q, ew))
+
+    h = 1e-3
+    for (i, d) in [(0, 1), (7, 0)]:
+        dp = jnp.zeros_like(pos).at[i, d].set(h)
+        fd = -(e(pos + dp) - e(pos - dp)) / (2 * h)
+        assert abs(float(f[i, d]) - fd) < 5e-2 * max(1.0, abs(fd)), (i, d)
+
+    # forcefield dispatch accepts the tip4p preset
+    from gamd_tpu.train.forcefield import GNNForceField
+    from gamd_tpu.train.state import build_model, create_train_state
+    system = get_preset("tip4p", n_atoms=24, box=7.0, cutoff=3.0,
+                        nbr_capacity=16, skin=0.5)
+    cfg = ModelConfig(use_layer_norm=True, in_node_feats=1,
+                      longrange="ewald_recip")
+    model = build_model(cfg, system)
+    state = create_train_state(model, system, TrainConfig(), 1)
+    ff = GNNForceField(state, system, cfg)
+    assert ff._longrange_fn is not None
+
+
 def test_dataset_label_subtraction(tmp_path):
     """subtract_from_labels shifts in-memory labels only; the on-disk pack
     cache keeps the raw labels."""
