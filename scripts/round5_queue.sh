@@ -2,9 +2,15 @@
 # Round-5 opener chip queue (wipe-proof). Fire FIRST THING next round:
 #   nohup bash scripts/round5_queue.sh > /tmp/queue_r5.log 2>&1 &
 #   echo $! > /tmp/queue_r5.pid
-# Rationale per stage is in PLAN.md "Round-5 queue". Session boundaries
-# wipe untracked artifacts: every stage regenerates what it needs and
-# falls back to the committed results/ckpts/*.msgpack checkpoints.
+# Value order: kernel parity -> datasets -> TIP3P FLAGSHIP retrain
+# (--longrange + --relabel + --extra_seeds: the analytic k-space split
+# plus exact-relabel jitter plus 10 extra Ewald trajectories — the
+# combined attack on the round-4 finding that a local GNN memorizes the
+# reciprocal-space force component; target MAE <= ref 0.01126 eV/A)
+# -> eval/ship/f25 RDF -> LJ follow-on conditioned on r4j's exact-relabel
+# RDF -> TIP4P Ewald regeneration + longrange arm -> bench.
+# Session boundaries wipe untracked artifacts: every stage regenerates
+# what it needs and falls back to committed results/ckpts/*.msgpack.
 cd "$(dirname "$0")/.."
 export PYTHONPATH=$PWD:/root/.axon_site
 mkdir -p results results/ckpts
@@ -17,16 +23,14 @@ commit_results() {
   echo "committed: $1"
 }
 
-ensure_dataset() {  # ensure_dataset <system> <path> [extra flags...]
-  local sys=$1 out=$2; shift 2
-  if [ -e "$out" ] && [ -n "$(ls "$out" 2>/dev/null | head -1)" ]; then
-    echo "dataset $out present"; return 0
-  fi
+ensure_dataset() {  # ensure_dataset <system> <path> <last_file> [flags...]
+  local sys=$1 out=$2 last=$3; shift 3
+  if [ -f "$out/$last" ]; then echo "dataset $out present"; return 0; fi
   echo "--- regenerating $sys dataset -> $out $(date)"
-  timeout 4500 python scripts/generate_data.py --system "$sys" \
-    --out "$out" --seeds 10 --frames 1000 "$@" \
-    > "results/gen_${sys}_r5.log" 2>&1
-  echo "gen $sys rc=$? $(tail -1 results/gen_${sys}_r5.log)"
+  timeout 7200 python scripts/generate_data.py --system "$sys" \
+    --out "$out" --frames 1000 --interval 50 "$@" \
+    > "results/gen_${sys}_$(basename "$out")_r5.log" 2>&1
+  echo "gen $sys rc=$? $(tail -1 results/gen_${sys}_$(basename "$out")_r5.log)"
   commit_results "results: $sys dataset generation log (r5)"
 }
 
@@ -37,125 +41,185 @@ latest_ckpt() {  # latest_ckpt <cp_dir> <committed_fallback>
   [ -f "$2" ] && echo "$2"
 }
 
-echo "=== [1] KERNEL PARITY $(date)"
-timeout 1800 python scripts/check_kernels.py > results/check_kernels_r5.log 2>&1
-echo "step1 rc=$? $(tail -1 results/check_kernels_r5.log)"
-
-echo "=== [2] HEADLINE BENCH $(date)"
-timeout 2400 python bench.py > results/bench_r5.log 2>&1
-echo "step2 rc=$? $(grep '^{' results/bench_r5.log | tail -1)"
-commit_results "results: round-5 opener - kernel parity + headline bench"
-
-echo "=== [3] DATASETS $(date)"
-ensure_dataset lj md_dataset/lj_data
-ensure_dataset tip3p md_dataset/water_data
-
-echo "=== [4] TIP3P drop_edge RETRAIN on Ewald labels (r4 overfit fix) $(date)"
-# r4 finding: the reference recipe OVERFITS on Ewald labels from ~ep13
-# (RESULTS.md round-4 TIP3P bullet). The reference's own regularizer —
-# 20% per-layer edge dropout (nn_module.py:111-122) — was off in every
-# water run so far. 40 epochs, best-val selected below.
-timeout 7200 python scripts/train_gamd.py --system tip3p --batch_size 1 \
-  --max_epoch 40 --min_epoch 40 --use_layer_norm --drop_edge \
-  --checkpoint_every 2 --cp_dir ./model_ckpt_tip3p_r5 \
-  > results/tip3p_train_r5.log 2>&1
-echo "step4 rc=$?"
-CK3=$(latest_ckpt model_ckpt_tip3p_r5 results/ckpts/tip3p_final.msgpack)
-BEST=$(python - <<'PYEOF'
-import re
+ship_best() {  # ship_best <cp_dir> <train_log> <system> <data_dir> <tag>
+  # Eval best-val + latest checkpoints, copy the better (by eval MAE) to
+  # results/ckpts/<tag>_latest.msgpack (+ scaler), echo its path.
+  local d=$1 log=$2 sys=$3 data=$4 tag=$5
+  local CKT BE E
+  CKT=$(latest_ckpt "$d" "")
+  BE=$(python - "$log" "$d" <<'PYEOF'
+import glob, re, sys
+log, d = sys.argv[1], sys.argv[2]
 best, ep = 9e9, None
 try:
-    for ln in open("results/tip3p_train_r5.log"):
+    for ln in open(log):
         m = re.search(r"epoch (\d+) val: val_mae=([0-9.e-]+)", ln)
         if m and float(m.group(2)) < best:
             best, ep = float(m.group(2)), int(m.group(1))
 except Exception:
     pass
-# checkpoints land every 2 epochs as checkpoint_{ep}.msgpack (0-based
-# epoch indexing in the trainer; keep the nearest saved one at/below)
 if ep is not None:
-    import glob
-    cands = sorted(int(p.split("_")[-1].split(".")[0])
-                   for p in glob.glob("model_ckpt_tip3p_r5/checkpoint_*.msgpack"))
-    cands = [c for c in cands if c <= ep]
-    if cands:
-        print(f"model_ckpt_tip3p_r5/checkpoint_{cands[-1]}.msgpack")
+    c = sorted(int(p.split("_")[-1].split(".")[0])
+               for p in glob.glob(f"{d}/checkpoint_*.msgpack"))
+    c = [x for x in c if x <= ep]
+    if c:
+        print(f"{d}/checkpoint_{c[-1]}.msgpack")
 PYEOF
 )
-for CK in "$CK3" "$BEST"; do
-  [ -n "$CK" ] && [ -f "$CK" ] || continue
-  TAG=$(basename "$CK" .msgpack)
-  timeout 1200 python scripts/evaluate.py --system tip3p --ckpt "$CK" \
-    --data_dir md_dataset/water_data \
-    --json_out "results/tip3p_eval_r5_${TAG}.json" \
-    > "results/tip3p_eval_r5_${TAG}.log" 2>&1
-  echo "step4-eval $TAG rc=$? $(head -c 200 results/tip3p_eval_r5_${TAG}.json 2>/dev/null)"
-done
-commit_results "results: TIP3P drop_edge retrain on Ewald labels + evals (r5)"
-# Ship the better of latest/best-val as tip3p_final
-PICK=$(python - <<'PYEOF'
-import glob, json
-best, pick = 9e9, None
-for p in glob.glob("results/tip3p_eval_r5_*.json"):
-    try:
+  for PAIR in "best $BE" "latest $CKT"; do
+    set -- $PAIR
+    [ -n "$2" ] && [ -f "$2" ] || continue
+    timeout 2400 python scripts/evaluate.py --system "$sys" --ckpt "$2" \
+      --data_dir "$data" --json_out "results/${tag}_eval_$1_r5.json" \
+      > "results/${tag}_eval_$1_r5.log" 2>&1
+    echo "eval $tag/$1 rc=$? $(head -c 200 results/${tag}_eval_$1_r5.json 2>/dev/null)"
+  done
+  python - "$BE" "$CKT" "$tag" <<'PYEOF'
+import json, os, shutil, sys
+be, ckt, tag = sys.argv[1], sys.argv[2], sys.argv[3]
+win = None
+for t, ck in (("best", be), ("latest", ckt)):
+    p = f"results/{tag}_eval_{t}_r5.json"
+    if os.path.exists(p) and ck and os.path.exists(ck):
         d = json.load(open(p))
-    except Exception:
-        continue
-    if d.get("force_mae_ev_a", 9e9) < best:
-        best = d["force_mae_ev_a"]
-        pick = p.split("tip3p_eval_r5_")[1].rsplit(".json", 1)[0]
-print(pick or "")
+        if win is None or d["force_mae_ev_a"] < win[1]:
+            win = (ck, d["force_mae_ev_a"])
+if win:
+    shutil.copy(win[0], f"results/ckpts/{tag}_latest.msgpack")
+    e = os.path.basename(win[0]).split("_")[1].split(".")[0]
+    sc = os.path.join(os.path.dirname(win[0]), f"scaler_{e}.npz")
+    if os.path.exists(sc):
+        shutil.copy(sc, f"results/ckpts/{tag}_scaler.npz")
+    with open(f"results/ckpts/{tag}_PROVENANCE.txt", "w") as f:
+        f.write(f"{win[0]} eval_mae={win[1]}\n")
+    print(win[0])
 PYEOF
-)
-if [ -n "$PICK" ] && [ -f "model_ckpt_tip3p_r5/${PICK}.msgpack" ]; then
-  cp "model_ckpt_tip3p_r5/${PICK}.msgpack" results/ckpts/tip3p_final.msgpack
-  EP=$(echo "$PICK" | sed 's/[^0-9]//g')
-  cp "model_ckpt_tip3p_r5/scaler_${EP}.npz" results/ckpts/tip3p_scaler.npz \
-    2>/dev/null || cp "$(ls model_ckpt_tip3p_r5/scaler_*.npz | sort -V | tail -1)" \
-    results/ckpts/tip3p_scaler.npz
-  commit_results "results: ship best TIP3P drop_edge ckpt (r5)"
+}
+
+echo "=== [1] KERNEL PARITY $(date)"
+timeout 1800 python scripts/check_kernels.py > results/check_kernels_r5.log 2>&1
+echo "step1 rc=$? $(tail -1 results/check_kernels_r5.log)"
+commit_results "results: round-5 opener kernel parity"
+
+echo "=== [2] DATASETS $(date)"
+ensure_dataset lj md_dataset/lj_data data_9_999.npz --seeds 10
+ensure_dataset tip3p md_dataset/water_data data_9_999.npz \
+  --seeds 10 --dispatch_frames 50
+ensure_dataset tip3p md_dataset/water_data data_19_999.npz \
+  --seeds 10 --seed_start 10 --dispatch_frames 50
+
+echo "=== [3] TIP3P FLAGSHIP: longrange + relabel + extra seeds, b1x30 $(date)"
+(
+  while true; do
+    sleep 300
+    CK=$(ls model_ckpt_tip3p_r5/checkpoint_*.msgpack 2>/dev/null | sort -V | tail -1)
+    if [ -n "$CK" ] && ! cmp -s "$CK" results/ckpts/tip3p_lr_latest.msgpack 2>/dev/null; then
+      cp "$CK" results/ckpts/tip3p_lr_latest.msgpack
+      SC=$(ls model_ckpt_tip3p_r5/scaler_*.npz 2>/dev/null | sort -V | tail -1)
+      [ -n "$SC" ] && cp "$SC" results/ckpts/tip3p_lr_scaler.npz
+      commit_results "results: TIP3P longrange train checkpoint ($(basename "$CK"))"
+    fi
+  done
+) &
+W1=$!
+timeout 28800 python scripts/train_gamd.py --system tip3p --use_layer_norm \
+  --data_dir md_dataset --extra_seeds 10 --relabel --longrange \
+  --precompute_nbrs --batch_size 1 --max_epoch 30 --lr 3e-4 \
+  --cp_dir model_ckpt_tip3p_r5 --checkpoint_every 2 \
+  > results/tip3p_train_lr_r5.log 2>&1
+echo "step3 rc=$? $(tail -2 results/tip3p_train_lr_r5.log | head -1)"
+kill $W1 2>/dev/null
+commit_results "results: TIP3P longrange+relabel+extra-seeds training log (r5)"
+
+SHIP=$(ship_best model_ckpt_tip3p_r5 results/tip3p_train_lr_r5.log \
+  tip3p md_dataset/water_data tip3p_lr | tail -1)
+commit_results "results: TIP3P longrange evals + shipped ckpt (r5)"
+
+if [ -f results/ckpts/tip3p_lr_latest.msgpack ]; then
+  echo "=== [4] TIP3P f25 25k ROLLOUT RDF (longrange ckpt) $(date)"
+  timeout 5400 python scripts/analyze_rollout.py --system tip3p \
+    --ckpt results/ckpts/tip3p_lr_latest.msgpack \
+    --data_dir md_dataset/water_data \
+    --steps 25000 --integrator langevin --friction 25.0 \
+    --classical_baseline \
+    --json_out results/tip3p_rdf_lr_r5.json > results/tip3p_rdf_lr_r5.log 2>&1
+  echo "step4 rc=$? $(head -c 300 results/tip3p_rdf_lr_r5.json 2>/dev/null)"
+  commit_results "results: TIP3P f25 rollout RDF, longrange ckpt (r5)"
 fi
 
-echo "=== [5] TIP3P f25 25k ROLLOUT RDF on the shipped ckpt $(date)"
-timeout 5400 python scripts/analyze_rollout.py --system tip3p \
-  --ckpt results/ckpts/tip3p_final.msgpack --data_dir md_dataset/water_data \
-  --steps 25000 --integrator langevin --friction 25.0 --classical_baseline \
-  --json_out results/tip3p_rdf_f25_r5.json > results/tip3p_rdf_r5.log 2>&1
-echo "step5 rc=$? $(head -c 200 results/tip3p_rdf_f25_r5.json 2>/dev/null)"
-commit_results "results: TIP3P f25 rollout RDF, round-5 ckpt"
-
-echo "=== [6] LJ RDF with the cosine-fine-tuned ckpt (if r4 cosft improved) $(date)"
-if [ -f results/ckpts/lj_cosft_latest.msgpack ]; then
+echo "=== [5] LJ FOLLOW-ON (conditioned on r4j exact-relabel RDF) $(date)"
+# r4j trained LJ with exact-relabel jitter 0.01 (results/lj_rdf_r4j.json).
+# If that landed and improved on 0.078, push the same direction with the
+# high-T extra seeds; if r4j was cut before eval/RDF, run those first
+# from the committed ckpt.
+if [ ! -f results/lj_rdf_r4j.json ] && [ -f results/ckpts/lj_relabel_latest.msgpack ]; then
+  ensure_dataset lj md_dataset/lj_data data_9_999.npz --seeds 10
+  timeout 2400 python scripts/evaluate.py --system lj \
+    --ckpt results/ckpts/lj_relabel_latest.msgpack \
+    --data_dir md_dataset/lj_data --json_out results/lj_eval_r4j.json \
+    > results/lj_eval_r4j.log 2>&1
   timeout 5400 python scripts/analyze_rollout.py --system lj \
-    --ckpt results/ckpts/lj_cosft_latest.msgpack --data_dir md_dataset/lj_data \
+    --ckpt results/ckpts/lj_relabel_latest.msgpack \
+    --data_dir md_dataset/lj_data \
     --steps 25000 --integrator nose_hoover --classical_baseline \
-    --json_out results/lj_rdf_cosft_r5.json > results/lj_rdf_cosft_r5.log 2>&1
-  echo "step6 rc=$? $(head -c 200 results/lj_rdf_cosft_r5.json 2>/dev/null)"
-  commit_results "results: LJ RDF with cosine-fine-tuned ckpt (r5)"
+    --json_out results/lj_rdf_r4j.json > results/lj_rdf_r4j.log 2>&1
+  echo "step5-catchup rc=$? $(head -c 300 results/lj_rdf_r4j.json 2>/dev/null)"
+  commit_results "results: LJ exact-relabel eval + RDF (r4j catch-up)"
+fi
+L2=$(python -c "import json;print(json.load(open('results/lj_rdf_r4j.json')).get('rdf_l2',9))" 2>/dev/null || echo 9)
+if python -c "exit(0 if float('$L2') < 0.078 else 1)" 2>/dev/null; then
+  echo "relabel direction confirmed (L2=$L2) — adding high-T seeds arm"
+  ensure_dataset lj md_dataset/lj_data data_14_999.npz \
+    --seeds 5 --seed_start 10 --temperature 130
+  ensure_dataset lj md_dataset/lj_data data_19_999.npz \
+    --seeds 5 --seed_start 15 --temperature 160
+  timeout 14400 python scripts/train_gamd.py --system lj --use_layer_norm \
+    --data_dir md_dataset --extra_seeds 10 --relabel --jitter_sigma 0.01 \
+    --precompute_nbrs --batch_size 1 --max_epoch 30 --lr 3e-4 \
+    --matmul_precision highest \
+    --cp_dir model_ckpt_lj_r5 --checkpoint_every 5 \
+    > results/lj_train_hot_r5.log 2>&1
+  echo "step5-train rc=$?"
+  commit_results "results: LJ relabel + high-T seeds training log (r5)"
+  CKL=$(latest_ckpt model_ckpt_lj_r5 "")
+  if [ -f "$CKL" ]; then
+    timeout 2400 python scripts/evaluate.py --system lj --ckpt "$CKL" \
+      --data_dir md_dataset/lj_data --json_out results/lj_eval_hot_r5.json \
+      > results/lj_eval_hot_r5.log 2>&1
+    timeout 5400 python scripts/analyze_rollout.py --system lj \
+      --ckpt "$CKL" --data_dir md_dataset/lj_data \
+      --steps 25000 --integrator nose_hoover --classical_baseline \
+      --json_out results/lj_rdf_hot_r5.json > results/lj_rdf_hot_r5.log 2>&1
+    echo "step5-rdf rc=$? $(head -c 300 results/lj_rdf_hot_r5.json 2>/dev/null)"
+    cp "$CKL" results/ckpts/lj_relabel_latest.msgpack
+    cp "$(dirname "$CKL")/scaler_$(basename "$CKL" .msgpack | cut -d_ -f2).npz" \
+       results/ckpts/lj_relabel_scaler.npz 2>/dev/null
+    commit_results "results: LJ relabel+hot-seeds eval + RDF (r5)"
+  fi
 fi
 
-echo "=== [7] GAMD-LARGE completion (skip if dftlarge eval committed in r4) $(date)"
-if [ ! -f results/dftlarge_eval_r4.json ]; then
-  if [ ! -f md_dataset/RPBE-surrogate.npz ]; then
-    timeout 4500 python scripts/generate_data.py --system rpbe \
-      --out md_dataset/RPBE-surrogate.npz --frames 1000 \
-      > results/gen_rpbe_r5.log 2>&1
-    commit_results "results: RPBE surrogate regeneration (r5)"
-  fi
-  timeout 7200 python scripts/train_gamd.py --system dft \
-    --data_dir md_dataset/RPBE-surrogate.npz --batch_size 1 --max_epoch 14 \
-    --min_epoch 14 --lr 1e-4 --use_layer_norm --update_edge \
-    --encoding_size 256 --hidden_dim 128 --edge_embedding_dim 256 \
-    --conv_layer 5 --checkpoint_every 2 \
-    --cp_dir ./model_ckpt_dftlarge_r5 > results/dftlarge_train_r5.log 2>&1
-  CKD=$(latest_ckpt model_ckpt_dftlarge_r5 results/ckpts/dftlarge_final.msgpack)
-  if [ -n "$CKD" ]; then
-    timeout 1200 python scripts/evaluate.py --system dft --ckpt "$CKD" \
-      --data_dir md_dataset/RPBE-surrogate.npz \
-      --json_out results/dftlarge_eval_r5.json > results/dftlarge_eval_r5.log 2>&1
-    echo "step7 rc=$? $(head -c 300 results/dftlarge_eval_r5.json 2>/dev/null)"
-    commit_results "results: GAMD-large RPBE-surrogate train + eval (r5)"
-  fi
+echo "=== [6] TIP4P EWALD REGEN + LONGRANGE ARM $(date)"
+# Current TIP4P labels are DSF-truncated; regenerate under the reference
+# protocol (full Ewald on M/H sites, physics/water.py
+# tip4pew_energy_rigid_ewald) and train the longrange split arm.
+ensure_dataset tip4p md_dataset/tip4p_data data_9_999.npz \
+  --seeds 10 --dispatch_frames 50 --electrostatics ewald
+if [ -f md_dataset/tip4p_data/data_9_999.npz ]; then
+  timeout 21600 python scripts/train_gamd.py --system tip4p --use_layer_norm \
+    --data_dir md_dataset --longrange --precompute_nbrs \
+    --batch_size 1 --max_epoch 30 --lr 3e-4 \
+    --cp_dir model_ckpt_tip4p_r5 --checkpoint_every 2 \
+    > results/tip4p_train_lr_r5.log 2>&1
+  echo "step6 rc=$? $(tail -2 results/tip4p_train_lr_r5.log | head -1)"
+  commit_results "results: TIP4P Ewald longrange training log (r5)"
+  ship_best model_ckpt_tip4p_r5 results/tip4p_train_lr_r5.log \
+    tip4p md_dataset/tip4p_data tip4p_lr
+  commit_results "results: TIP4P longrange evals + shipped ckpt (r5)"
 fi
 
-echo "=== ROUND-5 OPENER DONE $(date)"
+echo "=== [7] HEADLINE BENCH $(date)"
+timeout 3600 python bench.py > results/bench_r5.log 2>&1
+echo "step7 rc=$? $(grep '^{' results/bench_r5.log | tail -1)"
+commit_results "results: round-5 headline bench"
+
+echo "=== QUEUE R5 DONE $(date)"
