@@ -248,6 +248,19 @@ def tip4pew_m_sites(o, h1, h2, box, p):
     return o + p.r_om * b / jnp.maximum(b_norm, 1e-8)
 
 
+def tip4p_charge_sites(pos, box, p: TIP4PEwParams):
+    """Derived charge sites + charges for the 4-site model:
+    ``[N, 3] real atoms (O,H,H) -> ([N, 3] sites (M,H,H), [N] charges)``.
+    Single source of the site layout / charge ordering for the energy,
+    Ewald, and long-range-channel paths."""
+    m = pos.shape[0] // 3
+    o, h1, h2 = pos[0::3], pos[1::3], pos[2::3]
+    msite = tip4pew_m_sites(o, h1, h2, box, p)
+    sites = jnp.stack([msite, h1, h2], axis=1).reshape(3 * m, 3)
+    q = jnp.tile(jnp.array([p.q_m, p.q_h, p.q_h]), m)
+    return sites, q
+
+
 def tip4pew_energy(pos, box, params: TIP4PEwParams = TIP4PEwParams()):
     """FLEXIBLE TIP4P-Ew energy (harmonic intra terms + nonbonded)."""
     p = params
@@ -279,8 +292,6 @@ def tip4pew_energy_rigid(pos, box, params: TIP4PEwParams = TIP4PEwParams()):
     m = n // 3
     p = params
     o = pos[0::3]
-    h1 = pos[1::3]
-    h2 = pos[2::3]
 
     # LJ on O-O.
     d2_oo = space.pairwise_distance2(o, box) + jnp.eye(m) * 1e9
@@ -292,9 +303,7 @@ def tip4pew_energy_rigid(pos, box, params: TIP4PEwParams = TIP4PEwParams()):
     e_lj = 0.5 * jnp.sum(jnp.where(ok_oo, e_lj_pair, 0.0))
 
     # Coulomb between charge sites M,H1,H2 of different molecules.
-    msite = tip4pew_m_sites(o, h1, h2, box, p)
-    sites = jnp.stack([msite, h1, h2], axis=1).reshape(3 * m, 3)
-    q = jnp.tile(jnp.array([p.q_m, p.q_h, p.q_h]), m)
+    sites, q = tip4p_charge_sites(pos, box, p)
     mol = jnp.arange(3 * m) // 3
     same = mol[:, None] == mol[None, :]
     d2_s = space.pairwise_distance2(sites, box) + jnp.eye(3 * m) * 1e9
@@ -321,17 +330,13 @@ def tip4pew_energy_rigid_ewald(pos, box, ew: _ewald.EwaldParams,
     m = n // 3
     p = params
     o = pos[0::3]
-    h1 = pos[1::3]
-    h2 = pos[2::3]
 
     d2_oo = space.pairwise_distance2(o, box) + jnp.eye(m) * 1e9
     ok_oo = d2_oo < ew.cutoff**2
     e_lj = _ewald.switched_lj_energy(d2_oo, ok_oo, p.sigma_o, p.eps_o,
                                      ew.cutoff, switch_width)
 
-    msite = tip4pew_m_sites(o, h1, h2, box, p)
-    sites = jnp.stack([msite, h1, h2], axis=1).reshape(3 * m, 3)
-    q = jnp.tile(jnp.array([p.q_m, p.q_h, p.q_h]), m)
+    sites, q = tip4p_charge_sites(pos, box, p)
     mol = jnp.arange(3 * m) // 3
     same_mol = mol[:, None] == mol[None, :]
     return e_lj + _ewald.ewald_energy(sites, q, box, same_mol, ew)
@@ -370,15 +375,11 @@ def make_tip4p_recip_force_fn(box: float, n_atoms: int,
     of ewald.make_recip_force_fn for the 4-site model
     (ModelConfig.longrange == 'ewald_recip' on the tip4p preset)."""
     assert n_atoms % 3 == 0
-    m = n_atoms // 3
     ew = _ewald.make_ewald_params(box, cutoff, tolerance, recip_tol)
     p = params
-    q = jnp.tile(jnp.array([p.q_m, p.q_h, p.q_h]), m)
 
     def energy(pos):
-        o, h1, h2 = pos[0::3], pos[1::3], pos[2::3]
-        msite = tip4pew_m_sites(o, h1, h2, box, p)
-        sites = jnp.stack([msite, h1, h2], axis=1).reshape(3 * m, 3)
+        sites, q = tip4p_charge_sites(pos, box, p)
         return _ewald.recip_energy(sites, q, ew)
 
     def force(pos):

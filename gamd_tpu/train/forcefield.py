@@ -19,6 +19,28 @@ from gamd_tpu.neighbors.topology import neighbor_bond_channel
 from gamd_tpu.train.state import TrainState, build_model
 
 
+def make_longrange_force_fn(system: SystemConfig, kind: str = "ewald_recip"):
+    """The analytic long-range force channel for a system preset
+    (``pos [N, 3] angstrom -> [N, 3] kJ/mol/A``).
+
+    SINGLE source of truth for the split: training subtracts exactly this
+    function from the labels and GNNForceField adds exactly it back, so
+    the two can never diverge. Supported: fixed-box tip3p (charges on real
+    atoms) and tip4p (M-site charges, redistributed via autodiff)."""
+    if kind != "ewald_recip":
+        raise ValueError(f"unknown longrange channel {kind!r}")
+    if system.name not in ("tip3p", "tip4p") or system.box is None:
+        raise ValueError("longrange='ewald_recip' supports the fixed-box "
+                         "tip3p / tip4p presets only")
+    if system.name == "tip4p":
+        from gamd_tpu.physics.water import make_tip4p_recip_force_fn
+        return make_tip4p_recip_force_fn(float(system.box), system.n_atoms)
+    from gamd_tpu.physics.ewald import make_recip_force_fn
+    from gamd_tpu.physics.water import TIP3PParams, atom_charges
+    q = atom_charges(system.n_atoms // 3, TIP3PParams())
+    return make_recip_force_fn(float(system.box), q)
+
+
 class GNNForceField:
     """Trained GAMD model wrapped as a force provider.
 
@@ -49,22 +71,8 @@ class GNNForceField:
                               else None)
 
     def _build_longrange(self):
-        kind = self.model_cfg.longrange
-        if kind != "ewald_recip":
-            raise ValueError(f"unknown longrange channel {kind!r}")
-        if self.system.name not in ("tip3p", "tip4p") \
-                or self.system.box is None:
-            raise ValueError(
-                "longrange='ewald_recip' supports the fixed-box tip3p / "
-                "tip4p presets only")
-        if self.system.name == "tip4p":
-            from gamd_tpu.physics.water import make_tip4p_recip_force_fn
-            return make_tip4p_recip_force_fn(float(self.system.box),
-                                             self.system.n_atoms)
-        from gamd_tpu.physics.ewald import make_recip_force_fn
-        from gamd_tpu.physics.water import TIP3PParams, atom_charges
-        q = atom_charges(self.system.n_atoms // 3, TIP3PParams())
-        return make_recip_force_fn(float(self.system.box), q)
+        return make_longrange_force_fn(self.system,
+                                       self.model_cfg.longrange)
 
     def _forward(self, pos, idx, mask, box):
         """Normalized force prediction for a single frame."""

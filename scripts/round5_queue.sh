@@ -24,14 +24,23 @@ commit_results() {
 }
 
 ensure_dataset() {  # ensure_dataset <system> <path> <last_file> [flags...]
+  # Skip only when BOTH the last frame file AND this round's own
+  # generation log exist: water/tip4p labels must come from THIS round's
+  # (Ewald-default) generator — a leftover DSF-era directory from an
+  # earlier session would otherwise silently poison the --longrange /
+  # --relabel label contract. The log name carries the last-file tag so
+  # canonical and extra-seed runs of the same dir keep separate evidence.
   local sys=$1 out=$2 last=$3; shift 3
-  if [ -f "$out/$last" ]; then echo "dataset $out present"; return 0; fi
+  local log="results/gen_${sys}_$(basename "$out")_${last%.npz}_r5.log"
+  if [ -f "$out/$last" ] && { [ "$sys" = lj ] || [ -f "$log" ]; }; then
+    echo "dataset $out ($last) present"; return 0
+  fi
   echo "--- regenerating $sys dataset -> $out $(date)"
   timeout 7200 python scripts/generate_data.py --system "$sys" \
     --out "$out" --frames 1000 --interval 50 "$@" \
-    > "results/gen_${sys}_$(basename "$out")_r5.log" 2>&1
-  echo "gen $sys rc=$? $(tail -1 results/gen_${sys}_$(basename "$out")_r5.log)"
-  commit_results "results: $sys dataset generation log (r5)"
+    > "$log" 2>&1
+  echo "gen $sys rc=$? $(tail -1 "$log")"
+  commit_results "results: $sys dataset generation log ($last, r5)"
 }
 
 latest_ckpt() {  # latest_ckpt <cp_dir> <committed_fallback>
@@ -66,6 +75,7 @@ if ep is not None:
         print(f"{d}/checkpoint_{c[-1]}.msgpack")
 PYEOF
 )
+  [ "$BE" = "$CKT" ] && BE=""   # best-val IS latest: one eval suffices
   for PAIR in "best $BE" "latest $CKT"; do
     set -- $PAIR
     [ -n "$2" ] && [ -f "$2" ] || continue
@@ -131,8 +141,8 @@ echo "step3 rc=$? $(tail -2 results/tip3p_train_lr_r5.log | head -1)"
 kill $W1 2>/dev/null
 commit_results "results: TIP3P longrange+relabel+extra-seeds training log (r5)"
 
-SHIP=$(ship_best model_ckpt_tip3p_r5 results/tip3p_train_lr_r5.log \
-  tip3p md_dataset/water_data tip3p_lr | tail -1)
+ship_best model_ckpt_tip3p_r5 results/tip3p_train_lr_r5.log \
+  tip3p md_dataset/water_data tip3p_lr
 commit_results "results: TIP3P longrange evals + shipped ckpt (r5)"
 
 if [ -f results/ckpts/tip3p_lr_latest.msgpack ]; then

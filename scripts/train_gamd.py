@@ -87,7 +87,7 @@ def main():
     parser.add_argument("--jitter_sigma", default=None, type=float,
                         help="override position-jitter sigma (A)")
     parser.add_argument("--longrange", action="store_true",
-                        help="tip3p only: train the GNN on the SHORT-RANGE "
+                        help="tip3p/tip4p: train the GNN on the SHORT-RANGE "
                              "residual (label minus the analytic k-space "
                              "Ewald force, physics/ewald.py recip_energy); "
                              "the checkpoint self-describes and every "
@@ -239,15 +239,11 @@ def main():
 
     if args.longrange:
         from gamd_tpu.core import units as _units
-        from gamd_tpu.physics import ewald as _ewald
-        from gamd_tpu.physics import water as w
+        from gamd_tpu.train.forcefield import make_longrange_force_fn
         to_ds = 1.0 / _units.KJ_MOL_NM_TO_INTERNAL
-        if args.system == "tip4p":
-            lr = w.make_tip4p_recip_force_fn(float(system.box),
-                                             system.n_atoms)
-        else:
-            q = w.atom_charges(system.n_atoms // 3, w.TIP3PParams())
-            lr = _ewald.make_recip_force_fn(float(system.box), q)
+        # The SAME closure GNNForceField adds back at deployment — the
+        # subtract/add-back pair cannot diverge.
+        lr = make_longrange_force_fn(system)
         lr_batch = jax.jit(jax.vmap(lambda p: lr(p) * to_ds))
         print("Long-range split: subtracting the analytic k-space Ewald "
               "force from the labels (GNN learns the short-range residual; "
