@@ -157,11 +157,9 @@ if [ -f results/ckpts/tip3p_lr_latest.msgpack ]; then
   commit_results "results: TIP3P f25 rollout RDF, longrange ckpt (r5)"
 fi
 
-echo "=== [5] LJ FOLLOW-ON (conditioned on r4j exact-relabel RDF) $(date)"
-# r4j trained LJ with exact-relabel jitter 0.01 (results/lj_rdf_r4j.json).
-# If that landed and improved on 0.078, push the same direction with the
-# high-T extra seeds; if r4j was cut before eval/RDF, run those first
-# from the committed ckpt.
+echo "=== [5] LJ FOLLOW-ON: rollout distillation $(date)"
+# First, catch-up eval/RDF for the r4j exact-relabel ckpt if the r4j
+# session was cut before they ran; then the distillation attack below.
 if [ ! -f results/lj_rdf_r4j.json ] && [ -f results/ckpts/lj_relabel_latest.msgpack ]; then
   ensure_dataset lj md_dataset/lj_data data_9_999.npz --seeds 10
   timeout 2400 python scripts/evaluate.py --system lj \
@@ -176,35 +174,45 @@ if [ ! -f results/lj_rdf_r4j.json ] && [ -f results/ckpts/lj_relabel_latest.msgp
   echo "step5-catchup rc=$? $(head -c 300 results/lj_rdf_r4j.json 2>/dev/null)"
   commit_results "results: LJ exact-relabel eval + RDF (r4j catch-up)"
 fi
-L2=$(python -c "import json;print(json.load(open('results/lj_rdf_r4j.json')).get('rdf_l2',9))" 2>/dev/null || echo 9)
-if python -c "exit(0 if float('$L2') < 0.078 else 1)" 2>/dev/null; then
-  echo "relabel direction confirmed (L2=$L2) — adding high-T seeds arm"
-  ensure_dataset lj md_dataset/lj_data data_14_999.npz \
-    --seeds 5 --seed_start 10 --temperature 130
-  ensure_dataset lj md_dataset/lj_data data_19_999.npz \
-    --seeds 5 --seed_start 15 --temperature 160
+# ROLLOUT DISTILLATION attack (DAgger-style; scripts/distill_rollout.py):
+# the RDF residual is off-manifold error, so train on frames from the
+# model's OWN rollout distribution, labeled by the classical oracle.
+# Applies whether or not r4j's exact-relabel improved the RDF — the
+# distilled frames target exactly the states the RDF is measured on.
+CKBEST=results/ckpts/lj_relabel_latest.msgpack
+[ -f "$CKBEST" ] || CKBEST=results/ckpts/lj_highest_latest.msgpack
+if [ -f "$CKBEST" ]; then
+  echo "--- distilling 5 GNN-NHC trajectories from $CKBEST $(date)"
+  timeout 7200 python scripts/distill_rollout.py --system lj \
+    --ckpt "$CKBEST" --out md_dataset/lj_data \
+    --seeds 5 --seed_start 10 --frames 1000 --interval 50 \
+    > results/lj_distill_r5.log 2>&1
+  echo "step5-distill rc=$? $(tail -1 results/lj_distill_r5.log)"
+  commit_results "results: LJ rollout-distillation generation log (r5)"
+fi
+if [ -f md_dataset/lj_data/data_14_999.npz ]; then
   timeout 14400 python scripts/train_gamd.py --system lj --use_layer_norm \
-    --data_dir md_dataset --extra_seeds 10 --relabel --jitter_sigma 0.01 \
+    --data_dir md_dataset --extra_seeds 5 --relabel --jitter_sigma 0.01 \
     --precompute_nbrs --batch_size 1 --max_epoch 30 --lr 3e-4 \
     --matmul_precision highest \
     --cp_dir model_ckpt_lj_r5 --checkpoint_every 5 \
-    > results/lj_train_hot_r5.log 2>&1
+    > results/lj_train_distill_r5.log 2>&1
   echo "step5-train rc=$?"
-  commit_results "results: LJ relabel + high-T seeds training log (r5)"
+  commit_results "results: LJ relabel + distilled-rollout-frames training log (r5)"
   CKL=$(latest_ckpt model_ckpt_lj_r5 "")
   if [ -f "$CKL" ]; then
     timeout 2400 python scripts/evaluate.py --system lj --ckpt "$CKL" \
-      --data_dir md_dataset/lj_data --json_out results/lj_eval_hot_r5.json \
-      > results/lj_eval_hot_r5.log 2>&1
+      --data_dir md_dataset/lj_data --json_out results/lj_eval_distill_r5.json \
+      > results/lj_eval_distill_r5.log 2>&1
     timeout 5400 python scripts/analyze_rollout.py --system lj \
       --ckpt "$CKL" --data_dir md_dataset/lj_data \
       --steps 25000 --integrator nose_hoover --classical_baseline \
-      --json_out results/lj_rdf_hot_r5.json > results/lj_rdf_hot_r5.log 2>&1
-    echo "step5-rdf rc=$? $(head -c 300 results/lj_rdf_hot_r5.json 2>/dev/null)"
-    cp "$CKL" results/ckpts/lj_relabel_latest.msgpack
+      --json_out results/lj_rdf_distill_r5.json > results/lj_rdf_distill_r5.log 2>&1
+    echo "step5-rdf rc=$? $(head -c 300 results/lj_rdf_distill_r5.json 2>/dev/null)"
+    cp "$CKL" results/ckpts/lj_distill_latest.msgpack
     cp "$(dirname "$CKL")/scaler_$(basename "$CKL" .msgpack | cut -d_ -f2).npz" \
-       results/ckpts/lj_relabel_scaler.npz 2>/dev/null
-    commit_results "results: LJ relabel+hot-seeds eval + RDF (r5)"
+       results/ckpts/lj_distill_scaler.npz 2>/dev/null
+    commit_results "results: LJ distillation-trained eval + RDF (r5)"
   fi
 fi
 
