@@ -190,15 +190,20 @@ if [ -f "$CKBEST" ]; then
   echo "step5-distill rc=$? $(tail -1 results/lj_distill_r5.log)"
   commit_results "results: LJ rollout-distillation generation log (r5)"
 fi
+# Recipe: the r3e one (STALE-label jitter 0.005) + distilled frames.
+# r4j measured the exact-relabel arm WORSE on RDF (L2 0.102 vs r3e
+# 0.078) despite best-ever MAE: stale-label jitter is a regularizer
+# (label noise smooths the learned force field), so keep it and change
+# exactly one variable — the distilled on-distribution frames.
 if [ -f md_dataset/lj_data/data_14_999.npz ]; then
   timeout 14400 python scripts/train_gamd.py --system lj --use_layer_norm \
-    --data_dir md_dataset --extra_seeds 5 --relabel --jitter_sigma 0.01 \
+    --data_dir md_dataset --extra_seeds 5 \
     --precompute_nbrs --batch_size 1 --max_epoch 30 --lr 3e-4 \
     --matmul_precision highest \
     --cp_dir model_ckpt_lj_r5 --checkpoint_every 5 \
     > results/lj_train_distill_r5.log 2>&1
   echo "step5-train rc=$?"
-  commit_results "results: LJ relabel + distilled-rollout-frames training log (r5)"
+  commit_results "results: LJ r3e-recipe + distilled-rollout-frames training log (r5)"
   CKL=$(latest_ckpt model_ckpt_lj_r5 "")
   if [ -f "$CKL" ]; then
     timeout 2400 python scripts/evaluate.py --system lj --ckpt "$CKL" \
