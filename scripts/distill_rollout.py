@@ -66,7 +66,8 @@ def main():
 
     from gamd_tpu.core.config import MDConfig, get_preset
     from gamd_tpu.md.simulate import Simulation
-    from gamd_tpu.physics.generate import _record_seed
+    from gamd_tpu.physics.generate import (_record_seeds_batched,
+                                           _stack_states)
     from gamd_tpu.physics.minimize import fire_minimize
     from gamd_tpu.train.checkpoint import load_self_describing
     from gamd_tpu.train.forcefield import GNNForceField
@@ -118,20 +119,30 @@ def main():
                 w.water_box(system.n_atoms // 3, box, params, seed=seed))
 
     os.makedirs(args.out, exist_ok=True)
-    for seed in range(args.seed_start, args.seed_start + args.seeds):
+    # All seeds advance in lockstep through ONE vmapped device program per
+    # frame block (the generator's batched path: R small systems cost ~the
+    # wall time of one on a TPU core).
+    seeds = list(range(args.seed_start, args.seed_start + args.seeds))
+    states = []
+    for seed in seeds:
         pos = init_pos(seed)
+        # Decorrelate identical lattice starts (LJ) before minimizing.
+        pos = pos + 0.02 * jax.random.normal(jax.random.PRNGKey(seed),
+                                             pos.shape)
         pos, _ = fire_minimize(minimize_force, pos, n_steps=1000,
                                max_step=0.05)
         if constraint is not None:
             pos = constraint.project_initial(pos)
-        st = sim.init_state(pos, rng=jax.random.PRNGKey(3000 + seed))
-        if args.thermalize:
-            st = sim.run(st, args.thermalize).state
-        _record_seed(sim, st, args.out, seed, args.frames, args.interval,
-                     record_force, args.dispatch_frames,
-                     log_every_frames=args.dispatch_frames * 4)
-        print(f"seed {seed}: {args.frames} GNN-rollout frames "
-              f"oracle-labeled -> {args.out}", flush=True)
+        states.append(sim.init_state(pos, rng=jax.random.PRNGKey(3000 + seed)))
+    states = _stack_states(states)
+    if args.thermalize:
+        states = jax.jit(jax.vmap(
+            lambda st: sim.run(st, args.thermalize).state))(states)
+    _record_seeds_batched(sim, states, args.out, seeds, args.frames,
+                          args.interval, record_force, args.dispatch_frames,
+                          log_every_frames=args.dispatch_frames * 2)
+    print(f"{args.seeds} x {args.frames} GNN-rollout frames "
+          f"oracle-labeled -> {args.out}", flush=True)
 
 
 if __name__ == "__main__":
