@@ -106,13 +106,11 @@ if win:
 PYEOF
 }
 
-echo "=== [1] KERNEL PARITY $(date)"
-timeout 1800 python scripts/check_kernels.py > results/check_kernels_r5.log 2>&1
-echo "step1 rc=$? $(tail -1 results/check_kernels_r5.log)"
-commit_results "results: round-5 opener kernel parity"
+# [1] kernel parity moved AFTER the flagship (stage 4b): in a short
+# session the datasets + incremental train checkpoints are the scarce
+# wall-clock items; parity was green in r4c and is re-captured later.
 
 echo "=== [2] DATASETS $(date)"
-ensure_dataset lj md_dataset/lj_data data_9_999.npz --seeds 10
 ensure_dataset tip3p md_dataset/water_data data_9_999.npz \
   --seeds 10 --dispatch_frames 50
 ensure_dataset tip3p md_dataset/water_data data_19_999.npz \
@@ -157,7 +155,15 @@ if [ -f results/ckpts/tip3p_lr_latest.msgpack ]; then
   commit_results "results: TIP3P f25 rollout RDF, longrange ckpt (r5)"
 fi
 
+echo "=== [4b] KERNEL PARITY $(date)"
+if [ ! -f results/check_kernels_r5.log ]; then
+  timeout 1800 python scripts/check_kernels.py > results/check_kernels_r5.log 2>&1
+  echo "step4b rc=$? $(tail -1 results/check_kernels_r5.log)"
+  commit_results "results: round-5 kernel parity"
+fi
+
 echo "=== [5] LJ FOLLOW-ON: rollout distillation $(date)"
+ensure_dataset lj md_dataset/lj_data data_9_999.npz --seeds 10
 # First, catch-up eval/RDF for the r4j exact-relabel ckpt if the r4j
 # session was cut before they ran; then the distillation attack below.
 if [ ! -f results/lj_rdf_r4j.json ] && [ -f results/ckpts/lj_relabel_latest.msgpack ]; then
