@@ -585,3 +585,39 @@ def test_precomputed_nbrs_water_bond_epoch():
           log_fn=lambda m: logs.append(m))
     assert any("epoch 1:" in line for line in logs)
     assert all("nan" not in line for line in logs)
+
+
+def test_train_resume_matches_straight_run(tmp_path):
+    """The production resume contract (scripts/train_gamd.py
+    --state_ckpt_dir + --start_epoch, used by scripts/round5b_queue.sh):
+    restoring checkpoint_E and continuing with start_epoch=E+1 must
+    reproduce the straight run exactly — same per-epoch RNG stream
+    (loop.py replays start_epoch splits), same LR schedule (opt-state
+    step count rides the checkpoint), same streaming-scaler state."""
+    system, frames = make_lj_frames(n_frames=8)
+    ds = ListDataset(frames)
+    cfg = TrainConfig(max_epoch=3, batch_size=4, lr=3e-3,
+                      rotate_aug=True, jitter_sigma=0.001,
+                      precompute_nbrs=True, checkpoint_every=1)
+    straight = train(system, TINY, cfg, ds, ckpt_dir=str(tmp_path),
+                     log_fn=lambda m: None)
+
+    model = build_model(TINY, system)
+    template = create_train_state(model, system, cfg, steps_per_epoch=2,
+                                  rng=jax.random.PRNGKey(123))
+    restored = load_checkpoint(str(tmp_path / "checkpoint_1.msgpack"),
+                               template)
+    import dataclasses
+    cfg_resume = dataclasses.replace(cfg, start_epoch=2)
+    resumed = train(system, TINY, cfg_resume, ds, state=restored,
+                    log_fn=lambda m: None)
+
+    for a, b in zip(jax.tree.leaves(straight.params),
+                    jax.tree.leaves(resumed.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    assert int(straight.step) == int(resumed.step)
+    np.testing.assert_array_equal(
+        np.asarray(straight.force_stat.count),
+        np.asarray(resumed.force_stat.count))
+    np.testing.assert_allclose(float(straight.force_stat.var),
+                               float(resumed.force_stat.var), rtol=1e-6)
