@@ -142,13 +142,17 @@ class TrainConfig:
     min_epoch: int = 30
     max_epoch: int = 30
     batch_size: int = 1
-    loss: str = "mae"                 # 'mae' | 'mse'
+    loss: str = "mae"                 # 'mae' | 'mse' | 'relmae'
+                                      # (magnitude-normalized MAE)
     lambda_net_force: float = 1e-3    # LAMBDA2 net-force regularizer
     lambda_cosine: float = 0.0        # angular fine-tune term (0 = the
                                       # reference loss; see loop.py loss_fn)
     rotate_aug: bool = True
     rotate_prob: float = 0.3
     jitter_sigma: float = 0.005
+    rigid_jitter: bool = False        # rigid per-molecule jitter instead of
+                                      # per-atom (keeps O-H geometry exact;
+                                      # see augment.rigid_jitter_positions)
     lr_step_epochs: int = 5
     lr_total_decay: float = 0.001     # StepLR gamma = decay**(step/epochs)
     checkpoint_every: int = 5

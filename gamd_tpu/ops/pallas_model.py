@@ -303,7 +303,8 @@ def _forward_body(scalars_ref, pos_pk_ref, idx_ref, bmask_ref,
                   tile_n: int, k: int, n_pad: int, n_tiles: int, n_rows: int,
                   n_layers: int, d: int, flip_dir: bool, use_ln: bool,
                   conv_act: str, mlp_act: str, f32_edges: bool,
-                  oh_scr=None, ablate: frozenset = frozenset(),
+                  oh_scr=None, e_lo_scr=None,
+                  ablate: frozenset = frozenset(),
                   unroll_tiles: bool = False):
     """Whole-model forward over refs/scratch already in VMEM. Shared by the
     single-shot megakernel and the multi-step MD kernel.
@@ -358,8 +359,26 @@ def _forward_body(scalars_ref, pos_pk_ref, idx_ref, bmask_ref,
     def mm(a, w):
         if f32_edges:        # logic-verification mode: no bf16 noise
             return jnp.dot(a, w, preferred_element_type=jnp.float32)
-        return jnp.dot(a.astype(bf), w.astype(bf),
-                       preferred_element_type=jnp.float32)
+        ab = a.astype(bf)
+        wb = w.astype(bf)
+        out = jnp.dot(ab, wb, preferred_element_type=jnp.float32)
+        if e_lo_scr is not None:
+            # edge_hilo (bf16x3 edge pipeline): input AND weight bf16
+            # residuals ride extra dots (a_hi w_lo + a_lo w_hi; the lo x lo
+            # term is ~1e-7 and dropped) — each edge matmul becomes
+            # ~fp32-faithful at 3 bf16 MXU passes. Splitting only the
+            # stored stream, or only the inputs, was measured insufficient
+            # (tests/test_megakernel.py edge-hilo test history): the
+            # weight rounding dominates the megakernel's water parity
+            # envelope.
+            wl = (jnp.asarray(w, jnp.float32)
+                  - wb.astype(jnp.float32)).astype(bf)
+            out = out + jnp.dot(ab, wl, preferred_element_type=jnp.float32)
+            if a.dtype != bf:
+                al = (a - ab.astype(jnp.float32)).astype(bf)
+                out = out + jnp.dot(al, wb,
+                                    preferred_element_type=jnp.float32)
+        return out
 
     def mmf(a, w):
         # fp32 matmul for the node-level projections and the residual
@@ -435,7 +454,18 @@ def _forward_body(scalars_ref, pos_pk_ref, idx_ref, bmask_ref,
             var = jnp.mean(zc * zc, axis=1, keepdims=True)
             z = zc * jax.lax.rsqrt(var + 1e-6)
         z = z * eln_s_ref[0:1, :] + eln_b_ref[0:1, :]
-        e_scr[pl.ds(r0, rows), :] = z.astype(bf)
+        zh = z.astype(bf)
+        e_scr[pl.ds(r0, rows), :] = zh
+        if e_lo_scr is not None:
+            # hi/lo edge stream (GAMD_EDGE_HILO): the single-bf16 edge
+            # stream was the dominant megakernel parity term (~4.7%
+            # envelope -> +4 K water thermostat bias at f=25/ps,
+            # results/water_rollout_perf_mk_r4h.log). The residual rides a
+            # second bf16 scratch and the conv stage's first edge dot
+            # splits into hi+lo partial dots — fp32-exact storage at one
+            # extra [rows, E] x [E, H] bf16 dot per layer.
+            e_lo_scr[pl.ds(r0, rows), :] = (z - zh.astype(jnp.float32)
+                                            ).astype(bf)
         return 0
 
     loop_tiles(enc_tile)
@@ -512,11 +542,20 @@ def _forward_body(scalars_ref, pos_pk_ref, idx_ref, bmask_ref,
                 src_code = (jnp.dot(gcat, w_src3_ref[layer],
                                     preferred_element_type=jnp.float32)
                             + b_src_ref[layer, :, :])
-            x = e_scr[pl.ds(r0, rows), :].astype(jnp.float32)
+            if e_lo_scr is None:
+                x = e_scr[pl.ds(r0, rows), :].astype(jnp.float32)
+                z1 = None
+            else:
+                xhi = e_scr[pl.ds(r0, rows), :]
+                xlo = e_lo_scr[pl.ds(r0, rows), :]
+                x = xhi.astype(jnp.float32) + xlo.astype(jnp.float32)
+                z1 = mm(xhi, w_e1_ref[layer]) + mm(xlo, w_e1_ref[layer])
             if "emlp" in ablate:
                 z = x
             else:
-                z = cact(mm(x, w_e1_ref[layer]) + b_e1_ref[layer, :, :])
+                if z1 is None:
+                    z1 = mm(x, w_e1_ref[layer])
+                z = cact(z1 + b_e1_ref[layer, :, :])
                 z = mm(z, w_e2_ref[layer]) + b_e2_ref[layer, :, :]
             dst_t = dst_scr[pl.ds(a0, tile_n), :].astype(jnp.float32)
             if "repeat" in ablate:
@@ -583,6 +622,17 @@ def _resolve_unroll(n_tiles: int) -> bool:
     return n_tiles <= _UNROLL_TILES_MAX
 
 
+def _resolve_edge_hilo(default) -> bool:
+    """hi/lo (fp32-exact) edge-stream storage — see _forward_body. Default
+    comes from the caller (GNNForceField turns it on for water deployment);
+    GAMD_EDGE_HILO=0/1 overrides for A/Bs."""
+    import os
+    env = os.environ.get("GAMD_EDGE_HILO")
+    if env is not None and env != "":
+        return env not in ("0", "off", "false")
+    return bool(default)
+
+
 def _fill_onehot(oh_scr, idx_ref, row_base, n_tiles, rows, n_pad):
     """Build the per-tile one-hot gather matrices into VMEM once."""
 
@@ -603,13 +653,15 @@ def _mega_kernel(scalars_ref, pos_pk_ref, idx_ref, bmask_ref,
                  tile_n: int, k: int, n_pad: int, n_tiles: int, n_rows: int,
                  n_layers: int, d: int, flip_dir: bool, use_ln: bool,
                  conv_act: str, mlp_act: str, f32_edges: bool,
-                 cache_onehot: bool, unroll_tiles: bool = False):
+                 cache_onehot: bool, edge_hilo: bool = False,
+                 unroll_tiles: bool = False):
     """Single forward pass (grid = replicas). See _forward_body."""
-    n_scr = 7 if cache_onehot else 6
+    n_scr = 6 + int(cache_onehot) + int(edge_hilo)
     weights = rest[:-(1 + n_scr)]
     out_ref = rest[-(1 + n_scr)]
     scratch = rest[-n_scr:]
     oh_scr = scratch[6] if cache_onehot else None
+    e_lo_scr = scratch[6 + int(cache_onehot)] if edge_hilo else None
     p = pl.program_id(0)
     rows_total = n_tiles * tile_n * k
     if cache_onehot:
@@ -622,7 +674,7 @@ def _mega_kernel(scalars_ref, pos_pk_ref, idx_ref, bmask_ref,
         tile_n=tile_n, k=k, n_pad=n_pad, n_tiles=n_tiles, n_rows=n_rows,
         n_layers=n_layers, d=d, flip_dir=flip_dir, use_ln=use_ln,
         conv_act=conv_act, mlp_act=mlp_act, f32_edges=f32_edges,
-        oh_scr=oh_scr, unroll_tiles=unroll_tiles)
+        oh_scr=oh_scr, e_lo_scr=e_lo_scr, unroll_tiles=unroll_tiles)
 
 
 @trace_at_default_matmul_precision
@@ -633,7 +685,8 @@ def _mega_md_kernel(scalars_ref, seeds_ref, pos0_ref, vel0_ref, f0_ref,
                     n_tiles: int, n_rows: int, n_layers: int, d: int,
                     flip_dir: bool, use_ln: bool, conv_act: str,
                     mlp_act: str, f32_edges: bool, interpret_rng: bool,
-                    cache_onehot: bool, ablate: frozenset = frozenset(),
+                    cache_onehot: bool, edge_hilo: bool = False,
+                    ablate: frozenset = frozenset(),
                     unroll_tiles: bool = False):
     """n_steps of BAOAB Langevin MD with the GNN forward run ENTIRELY in
     one kernel invocation: positions, velocities, and the edge stream stay
@@ -647,13 +700,14 @@ def _mega_md_kernel(scalars_ref, seeds_ref, pos0_ref, vel0_ref, f0_ref,
     threefry). Reference for the split the fused step replaces:
     /root/reference/code/hack_integrator.py:141-178.
     """
-    n_scr = 11 if cache_onehot else 10
+    n_scr = 10 + int(cache_onehot) + int(edge_hilo)
     weights = rest[:-(4 + n_scr)]
     pos_out, vel_out, f_out, thermo_out = rest[-(4 + n_scr):-n_scr]
     scratch = rest[-n_scr:]
     (e_scr, live_scr, h_scr, agg_scr, nhilo_scr, dst_scr,
      pcur_scr, vcur_scr, f_scr, ppk_scr) = scratch[:10]
     oh_scr = scratch[10] if cache_onehot else None
+    e_lo_scr = scratch[10 + int(cache_onehot)] if edge_hilo else None
 
     p = pl.program_id(0)
     rows_total = n_tiles * tile_n * k
@@ -695,7 +749,8 @@ def _mega_md_kernel(scalars_ref, seeds_ref, pos0_ref, vel0_ref, f0_ref,
             tile_n=tile_n, k=k, n_pad=n_pad, n_tiles=n_tiles, n_rows=n_rows,
             n_layers=n_layers, d=d, flip_dir=flip_dir, use_ln=use_ln,
             conv_act=conv_act, mlp_act=mlp_act, f32_edges=f32_edges,
-            oh_scr=oh_scr, ablate=ablate, unroll_tiles=unroll_tiles)
+            oh_scr=oh_scr, e_lo_scr=e_lo_scr, ablate=ablate,
+            unroll_tiles=unroll_tiles)
 
     def hash_bits(s, tag):
         # interpret-mode stand-in for the on-core PRNG (which has no CPU
@@ -758,7 +813,7 @@ def mega_md_steps(pos, vel, force, idx, build_mask, h0, mp: MegaParams,
                   rbf_gap=0.025, flip_dir=False, use_ln=True,
                   conv_act="silu", mlp_act="gelu", tile_n: int = 16,
                   interpret: bool = False, f32_edges: bool = False,
-                  ablate=()):
+                  edge_hilo: bool = False, ablate=()):
     """Advance n_steps of fused BAOAB GNN-MD in ONE device program.
 
     Args:
@@ -834,12 +889,14 @@ def mega_md_steps(pos, vel, force, idx, build_mask, h0, mp: MegaParams,
     seeds = jnp.asarray(seed, jnp.int32).reshape(1)
 
     cache_onehot = rows_total * n_pad * 2 <= _OH_CACHE_BYTES
+    edge_hilo = _resolve_edge_hilo(edge_hilo)
     kernel = functools.partial(
         _mega_md_kernel, n_steps=n_steps, tile_n=tile_n, k=k, n_pad=n_pad,
         n_tiles=n_tiles, n_rows=n_rows_t, n_layers=mp.w_src.shape[0], d=d,
         flip_dir=flip_dir, use_ln=use_ln, conv_act=conv_act,
         mlp_act=mlp_act, f32_edges=f32_edges, interpret_rng=interpret,
-        cache_onehot=cache_onehot, ablate=frozenset(ablate),
+        cache_onehot=cache_onehot, edge_hilo=edge_hilo,
+        ablate=frozenset(ablate),
         unroll_tiles=_resolve_unroll(n_tiles))
 
     full = lambda: pl.BlockSpec(memory_space=pltpu.VMEM)
@@ -861,7 +918,9 @@ def mega_md_steps(pos, vel, force, idx, build_mask, h0, mp: MegaParams,
             pltpu.VMEM((n_rows_t, 128), jnp.float32),        # force
             pltpu.VMEM((n_pad, 128), jnp.bfloat16),          # pos packed
         ] + ([pltpu.VMEM((rows_total, n_pad), jnp.bfloat16)]  # onehot cache
-             if cache_onehot else []),
+             if cache_onehot else [])
+          + ([pltpu.VMEM((rows_total, e_dim), jnp.bfloat16)]  # e lo residual
+             if edge_hilo else []),
     )
 
     pos_o, vel_o, f_o, ke = pl.pallas_call(
@@ -892,7 +951,7 @@ def mega_forward(pos, idx, build_mask, h0, mp: MegaParams, box, cutoff,
                  length_mean, length_std, bond=None, rbf_gap=0.025,
                  flip_dir=False, use_ln=True, conv_act="silu",
                  mlp_act="gelu", tile_n: int = 16, interpret: bool = False,
-                 f32_edges: bool = False):
+                 f32_edges: bool = False, edge_hilo: bool = False):
     """Run the whole force model in one device program.
 
     Args:
@@ -959,11 +1018,13 @@ def mega_forward(pos, idx, build_mask, h0, mp: MegaParams, box, cutoff,
     ])
 
     cache_onehot = rows_total * n_pad * 2 <= _OH_CACHE_BYTES
+    edge_hilo = _resolve_edge_hilo(edge_hilo)
     kernel = functools.partial(
         _mega_kernel, tile_n=tile_n, k=k, n_pad=n_pad, n_tiles=n_tiles,
         n_rows=n_rows_t, n_layers=mp.w_src.shape[0], d=d, flip_dir=flip_dir,
         use_ln=use_ln, conv_act=conv_act, mlp_act=mlp_act,
         f32_edges=f32_edges, cache_onehot=cache_onehot,
+        edge_hilo=edge_hilo,
         unroll_tiles=_resolve_unroll(n_tiles))
 
     # All tensor refs ride into VMEM whole (with their replica axis); the
@@ -985,7 +1046,9 @@ def mega_forward(pos, idx, build_mask, h0, mp: MegaParams, box, cutoff,
             pltpu.VMEM((n_pad, 2 * d), jnp.bfloat16),        # hn hi|lo
             pltpu.VMEM((n_rows_t, h_dim), jnp.float32),      # dst stage
         ] + ([pltpu.VMEM((rows_total, n_pad), jnp.bfloat16)]  # onehot cache
-             if cache_onehot else []),
+             if cache_onehot else [])
+          + ([pltpu.VMEM((rows_total, e_dim), jnp.bfloat16)]  # e lo residual
+             if edge_hilo else []),
     )
 
     out = pl.pallas_call(

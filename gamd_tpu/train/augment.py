@@ -67,3 +67,46 @@ def jitter_positions(rng, pos, sigma=0.005):
     """Gaussian position noise (applied after neighbor search,
     reference: train_network_lj.py:228)."""
     return pos + sigma * jax.random.normal(rng, pos.shape, pos.dtype)
+
+
+def rigid_jitter_positions(rng, pos, sigma_t, group_size=3, sigma_rot=None):
+    """Constraint-manifold jitter for rigid-molecule systems (beyond the
+    reference: train_network_lj.py:228 jitters atoms independently).
+
+    Per-atom Gaussian jitter breaks rigid water's fixed O-H/H-H geometry:
+    every training input lands OFF the constraint manifold the validation
+    frames (and every MD rollout state) live ON, and the exact-relabel
+    oracle then supervises configurations the deployed model never sees.
+    This variant perturbs each molecule RIGIDLY — a random translation
+    (sigma_t, angstrom) plus a small random rotation about the molecule
+    centroid (sigma_rot, radians; default scaled so the H-atom displacement
+    from rotation matches sigma_t) — so augmented samples stay exactly on
+    the rigid-body manifold while still breaking frame memorization.
+
+    pos: [..., N, 3] with N divisible by group_size (O,H,H ordering).
+    """
+    if sigma_rot is None:
+        # Centroid->H distance in TIP3P geometry is ~0.65 A.
+        sigma_rot = sigma_t / 0.65
+    n = pos.shape[-2]
+    m = n // group_size
+    shape = pos.shape[:-2] + (m, group_size, 3)
+    p = pos.reshape(shape)
+    k_t, k_r = jax.random.split(rng)
+    dt = sigma_t * jax.random.normal(k_t, pos.shape[:-2] + (m, 1, 3),
+                                     pos.dtype)
+    omega = sigma_rot * jax.random.normal(k_r, pos.shape[:-2] + (m, 1, 3),
+                                          pos.dtype)
+    c = jnp.mean(p, axis=-2, keepdims=True)
+    v = p - c
+    # Rodrigues rotation by the vector omega, series-guarded near 0:
+    #   R v = v + sin(t)/t (w x v) + (1-cos(t))/t^2 (w x (w x v))
+    t2 = jnp.sum(omega * omega, axis=-1, keepdims=True)
+    t = jnp.sqrt(jnp.maximum(t2, 1e-24))
+    small = t2 < 1e-8
+    a = jnp.where(small, 1.0 - t2 / 6.0, jnp.sin(t) / t)
+    b = jnp.where(small, 0.5 - t2 / 24.0, (1.0 - jnp.cos(t)) / t2)
+    wxv = jnp.cross(omega, v)
+    wxwxv = jnp.cross(omega, wxv)
+    rv = v + a * wxv + b * wxwxv
+    return (c + rv + dt).reshape(pos.shape)

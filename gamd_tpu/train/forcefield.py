@@ -150,6 +150,14 @@ class GNNForceField:
         if use_bond:
             from gamd_tpu.neighbors.topology import neighbor_bond_channel
 
+        # Water deployment defaults to the fp32-exact hi/lo edge stream:
+        # the single-bf16 stream cost +4 K of thermostat bias at the
+        # reference rollout friction (results/water_rollout_perf_mk_r4h.log)
+        # — an accuracy regression on the throughput path. LJ keeps the
+        # cheaper single-bf16 stream (parity within budget there).
+        # GAMD_EDGE_HILO=0/1 overrides either default for A/Bs.
+        edge_hilo = system.species in ("water",)
+
         def fn(pos, idx, mask):
             bond = neighbor_bond_channel(idx) if use_bond else None
             h0_b = jnp.broadcast_to(h0, pos.shape[:-2] + h0.shape) \
@@ -159,7 +167,7 @@ class GNNForceField:
                 length_mean, length_std, bond=bond, rbf_gap=cfg.rbf_gap,
                 flip_dir=cfg.flip_dir, use_ln=cfg.use_layer_norm,
                 conv_act=cfg.conv_activation, mlp_act=cfg.mlp_activation,
-                tile_n=tile_n, interpret=interpret)
+                tile_n=tile_n, interpret=interpret, edge_hilo=edge_hilo)
 
         fn.handles_refresh = True     # in-kernel true-cutoff mask refresh
         return fn

@@ -70,6 +70,16 @@ def main():
                         choices=["ewald", "dsf"],
                         help="water classical-baseline Coulomb treatment; "
                              "must match how the dataset was generated")
+    parser.add_argument("--pe", action="store_true",
+                        help="evaluate the CLASSICAL oracle's potential "
+                             "energy along the GNN trajectory (and along "
+                             "the classical baseline when enabled) — the "
+                             "reference's PE time-series comparison "
+                             "(lj.ipynb cells 5-6, where OpenMM computes "
+                             "classical PE on the hacked simulation). "
+                             "Writes a plot-ready TSV next to --json_out")
+    parser.add_argument("--pe_out", default=None,
+                        help="PE TSV path (default: <json_out>_pe.tsv)")
     parser.add_argument("--json_out", default=None)
     parser.add_argument("--cpu", action="store_true",
                         help="force the CPU backend (the axon TPU plugin "
@@ -216,6 +226,78 @@ def main():
                 frames_cl, system.box, dt_sample_ps, species=species)
             extra["classical_diffusion_m2_s"] = diffusion_coefficient(
                 t_cl, msd_cl)
+
+    if args.pe:
+        # Classical-oracle PE along the GNN trajectory: the reference plots
+        # OpenMM's PE of the hacked (GNN-forced) simulation against the
+        # classical log (lj.ipynb cells 5-6; enabled by test_langevin.py:79-83
+        # reporting PE on the hacked Simulation object). Here the first-party
+        # potentials play the oracle role. A correct GNN rollout samples the
+        # same PE distribution as the classical run; a drifting/heating one
+        # shows up immediately as a PE offset or trend.
+        if args.system == "lj":
+            from gamd_tpu.physics import lennard_jones as lj
+
+            def pe_fn(p):
+                return lj.lj_energy_dense(p, system.box)
+        elif args.system == "tip3p":
+            from gamd_tpu.physics import ewald as _ewald
+            from gamd_tpu.physics import water as w
+            if args.electrostatics == "ewald":
+                _ew = _ewald.make_ewald_params(system.box)
+
+                def pe_fn(p):
+                    return w.tip3p_energy_rigid_ewald(p, system.box, _ew)
+            else:
+                def pe_fn(p):
+                    return w.tip3p_energy_rigid(p, system.box)
+        else:
+            from gamd_tpu.physics import ewald as _ewald
+            from gamd_tpu.physics import water as w
+            if args.electrostatics == "ewald":
+                _ew = _ewald.make_ewald_params(system.box)
+
+                def pe_fn(p):
+                    return w.tip4pew_energy_rigid_ewald(p, system.box, _ew)
+            else:
+                def pe_fn(p):
+                    return w.tip4pew_energy_rigid(p, system.box)
+
+        @jax.jit
+        def pe_series(frames_dev):
+            def body(_, p):
+                with jax.default_matmul_precision("highest"):
+                    return None, pe_fn(p)
+            return jax.lax.scan(body, None, frames_dev)[1]
+
+        pe_gnn = np.asarray(pe_series(jnp.asarray(frames)))
+        pe_cl = None
+        if args.classical_baseline:
+            pe_cl = np.asarray(pe_series(jnp.asarray(frames_cl)))
+        sample_ps = md.rebuild_every * md.dt_fs * 1e-3
+        pe_path = args.pe_out or ((args.json_out or "rollout") + "_pe.tsv")
+        with open(pe_path, "w") as f:
+            cols = ['#"Frame"', '"Time (ps)"',
+                    '"Classical PE on GNN traj (kJ/mole)"']
+            if pe_cl is not None:
+                cols.append('"Classical PE on classical traj (kJ/mole)"')
+            f.write("\t".join(cols) + "\n")
+            for i in range(len(pe_gnn)):
+                row = [str(i), f"{(n_equil + i) * sample_ps:.4f}",
+                       f"{pe_gnn[i]:.4f}"]
+                if pe_cl is not None and i < len(pe_cl):
+                    row.append(f"{pe_cl[i]:.4f}")
+                f.write("\t".join(row) + "\n")
+        print(f"PE series written to {pe_path}")
+        extra["pe_gnn_mean_kj_mol"] = float(pe_gnn.mean())
+        extra["pe_gnn_std_kj_mol"] = float(pe_gnn.std())
+        # Linear PE trend over the analyzed window (heating/cooling drift).
+        tt = np.arange(len(pe_gnn)) * sample_ps
+        extra["pe_gnn_drift_kj_mol_ps"] = float(
+            np.polyfit(tt, pe_gnn, 1)[0]) if len(pe_gnn) > 2 else 0.0
+        if pe_cl is not None:
+            extra["pe_classical_mean_kj_mol"] = float(pe_cl.mean())
+            extra["pe_classical_std_kj_mol"] = float(pe_cl.std())
 
     temps = np.asarray(result.thermo.temperature)
     report = {

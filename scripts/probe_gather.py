@@ -81,6 +81,69 @@ def kernel_onehot(idx_ref, tbl_ref, out_ref, oh_scr, *, iters):
         0, iters, body, jnp.zeros((8, 128), jnp.float32))
 
 
+def kernel_onehot_int8(idx_ref, tbl_ref, out_ref, oh_scr, *, iters,
+                       tbl_int8):
+    """Round-5 probe (VERDICT #3a): int8 one-hot operand. Row selection is
+    exactly representable in int8, so IF Mosaic runs int8 (or mixed
+    int8 x bf16) MXU dots at >= 2x the bf16 rate, the gather FLOP floor
+    halves with zero accuracy loss on the one-hot side (int8 x int8 would
+    additionally need a quantized table — rate probe only)."""
+    def fill(t, _):
+        r0 = pl.multiple_of(t * 1632, 1632)
+        idx_t = idx_ref[pl.ds(r0, 1632), :]
+        iota = jax.lax.broadcasted_iota(jnp.int32, (1632, N_PAD), 1)
+        oh_scr[pl.ds(r0, 1632), :] = (iota == idx_t).astype(jnp.int8)
+        return 0
+    jax.lax.fori_loop(0, ROWS // 1632, fill, 0)
+
+    def body(i, acc):
+        if tbl_int8:
+            dep = jnp.where(acc[0, 0] > 1e30, 1, 0).astype(jnp.int8)
+            g = jnp.dot(oh_scr[:, :], tbl_ref[:, :] + dep,
+                        preferred_element_type=jnp.int32)
+        else:
+            tbl_dep = tbl_ref[:, :] + _dep_scalar(acc).astype(jnp.bfloat16)
+            g = jnp.dot(oh_scr[:, :], tbl_dep,
+                        preferred_element_type=jnp.float32)
+        return _acc_update(acc, g)
+    out_ref[:, :] = jax.lax.fori_loop(
+        0, iters, body, jnp.zeros((8, 128), jnp.float32))
+
+
+def kernel_onehot_banded(idx_ref, starts_ref, tbl_ref, out_ref, oh_scr, *,
+                         iters, band):
+    """Round-5 probe (VERDICT #3b): banded gather. After an x-sort, each
+    tile's neighbor indices fall inside a `band`-row window of the node
+    table (at LJ-258 with 4+ tiles: ~207 rows < 256), so the one-hot dot
+    contracts over K=band instead of K=n_pad. MXU K-passes quantize at
+    128, so band=256 is 2 passes vs the baseline's 3 — the honest ceiling
+    of the FLOP cut without a native gather. The dynamic 16-aligned window
+    start exercises the dynamic-slice + dot lowering the production port
+    would need."""
+    n_band_tiles = ROWS // 1632
+    def fill(t, _):
+        r0 = pl.multiple_of(t * 1632, 1632)
+        s = pl.multiple_of(starts_ref[t], 16)
+        idx_t = idx_ref[pl.ds(r0, 1632), :] - s
+        iota = jax.lax.broadcasted_iota(jnp.int32, (1632, band), 1)
+        oh_scr[pl.ds(r0, 1632), :] = (iota == idx_t).astype(jnp.bfloat16)
+        return 0
+    jax.lax.fori_loop(0, n_band_tiles, fill, 0)
+
+    def body(i, acc):
+        dep = _dep_scalar(acc).astype(jnp.bfloat16)
+        def tile(t, acc2):
+            r0 = pl.multiple_of(t * 1632, 1632)
+            s = pl.multiple_of(starts_ref[t], 16)
+            g = jnp.dot(oh_scr[pl.ds(r0, 1632), :],
+                        tbl_ref[pl.ds(s, band), :] + dep,
+                        preferred_element_type=jnp.float32)
+            return _acc_update(acc2, g)
+        return jax.lax.fori_loop(0, n_band_tiles, tile, acc)
+    out_ref[:, :] = jax.lax.fori_loop(
+        0, iters, body, jnp.zeros((8, 128), jnp.float32))
+
+
 def kernel_lane(idxb_ref, tblT_ref, out_ref, *, iters, width):
     """take_along_axis(axis=1): out[d, e] = TT[d, idx[e]].
 
@@ -213,6 +276,43 @@ def main():
         a, b = jnp.asarray(idx), jnp.asarray(tbl, jnp.bfloat16)
         return jax.jit(lambda: fn(a, b))
 
+    def call_onehot_int8(iters, tbl_int8):
+        k = functools.partial(kernel_onehot_int8, iters=iters,
+                              tbl_int8=tbl_int8)
+        fn = pl.pallas_call(
+            k, out_shape=out_sd, in_specs=[full(), full()],
+            out_specs=full(),
+            scratch_shapes=[pltpu.VMEM((ROWS, N_PAD), jnp.int8)],
+            compiler_params=vmem, interpret=args.interpret)
+        a = jnp.asarray(idx)
+        b = (jnp.asarray((tbl * 8).astype(np.int8)) if tbl_int8
+             else jnp.asarray(tbl, jnp.bfloat16))
+        return jax.jit(lambda: fn(a, b))
+
+    def call_onehot_banded(iters, band):
+        # Per-tile 16-aligned window starts; indices clipped into each
+        # tile's window so the one-hot rebase stays in-range (the probe
+        # measures RATE; the production port would get in-range indices
+        # from the x-sort).
+        n_bt = ROWS // 1632
+        starts_np = (np.linspace(0, N_PAD - band, n_bt) // 16 * 16
+                     ).astype(np.int32)
+        idx_b = idx.reshape(n_bt, 1632, 1)
+        idx_b = np.clip(idx_b, starts_np[:, None, None],
+                        starts_np[:, None, None] + band - 1)
+        k = functools.partial(kernel_onehot_banded, iters=iters, band=band)
+        fn = pl.pallas_call(
+            k, out_shape=out_sd,
+            in_specs=[full(), pl.BlockSpec(memory_space=pltpu.SMEM),
+                      full()],
+            out_specs=full(),
+            scratch_shapes=[pltpu.VMEM((ROWS, band), jnp.bfloat16)],
+            compiler_params=vmem, interpret=args.interpret)
+        a = jnp.asarray(idx_b.reshape(ROWS, 1))
+        s = jnp.asarray(starts_np)
+        b = jnp.asarray(tbl, jnp.bfloat16)
+        return jax.jit(lambda: fn(a, s, b))
+
     def call_lane(iters, width):
         k = functools.partial(kernel_lane, iters=iters, width=width)
         fn = pl.pallas_call(
@@ -243,6 +343,18 @@ def main():
     results = {}
     results["onehot_dot"] = run_variant(
         "onehot_dot (baseline)", call_onehot, args.iters)
+    results["onehot_int8_mixed"] = run_variant(
+        "one-hot int8 x bf16 table (rate probe)",
+        lambda it: call_onehot_int8(it, False), args.iters)
+    results["onehot_int8_int8"] = run_variant(
+        "one-hot int8 x int8 table (rate probe)",
+        lambda it: call_onehot_int8(it, True), args.iters)
+    results["onehot_banded_256"] = run_variant(
+        "banded one-hot K=256 (2 MXU passes vs 3)",
+        lambda it: call_onehot_banded(it, 256), args.iters)
+    results["onehot_banded_208"] = run_variant(
+        "banded one-hot K=208 (x-sort tight band)",
+        lambda it: call_onehot_banded(it, 208), args.iters)
     results["lane_384"] = run_variant(
         "lane dynamic_gather width=384",
         lambda it: call_lane(it, 384), args.iters)

@@ -68,7 +68,11 @@ def main():
                              "rotation aug preserves distances)")
     parser.add_argument("--no_pack", action="store_true",
                         help="disable the packed-dataset cache")
-    parser.add_argument("--loss", default="mae", choices=["mae", "mse"])
+    parser.add_argument("--loss", default="mae",
+                        choices=["mae", "mse", "relmae"],
+                        help="relmae = magnitude-normalized MAE (per-atom "
+                             "error scaled by 1/(|f|+eps)) — the round-5 "
+                             "attack on the small-force angular floor")
     parser.add_argument("--checkpoint_every", default=None, type=int,
                         help="override checkpoint cadence (default: preset "
                              "5, or 50 for the dft system)")
@@ -86,6 +90,14 @@ def main():
                              "combine with a larger --jitter_sigma")
     parser.add_argument("--jitter_sigma", default=None, type=float,
                         help="override position-jitter sigma (A)")
+    parser.add_argument("--rigid_jitter", action="store_true",
+                        help="rigid per-molecule jitter (translation + "
+                             "small rotation about each molecule centroid) "
+                             "instead of per-atom noise — keeps rigid-water "
+                             "O-H geometry exact so augmented inputs stay "
+                             "on the constraint manifold the validation "
+                             "frames live on. Requires --relabel (labels "
+                             "change under rigid moves)")
     parser.add_argument("--longrange", action="store_true",
                         help="tip3p/tip4p: train the GNN on the SHORT-RANGE "
                              "residual (label minus the analytic k-space "
@@ -137,6 +149,11 @@ def main():
                      "water presets) only")
     if args.longrange and args.no_pack:
         parser.error("--longrange requires the packed dataset cache")
+    if args.rigid_jitter and not args.relabel:
+        parser.error("--rigid_jitter requires --relabel (stored labels are "
+                     "wrong at rigidly displaced positions)")
+    if args.rigid_jitter and args.system not in ("tip3p", "tip4p"):
+        parser.error("--rigid_jitter supports rigid-water systems only")
     # LAMBDA2 differs for the DFT config (reference:
     # train_network_real_large.py:30 vs train_network_lj.py:35).
     train_cfg = TrainConfig(
@@ -148,6 +165,7 @@ def main():
         rotate_aug=args.rotate_aug,
         jitter_sigma=(args.jitter_sigma if args.jitter_sigma is not None
                       else (0.00025 if args.system == "dft" else 0.005)),
+        rigid_jitter=args.rigid_jitter,
         checkpoint_every=(args.checkpoint_every
                           if args.checkpoint_every is not None
                           else (50 if args.system == "dft" else 5)),

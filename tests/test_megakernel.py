@@ -340,3 +340,26 @@ def test_simulation_megastep_runs():
     assert rr.state.pos.shape == (2, 64, 3)
     assert rr.thermo.temperature.shape == (2, 10)
     assert bool(jnp.isfinite(rr.state.pos).all())
+
+
+def test_megakernel_edge_hilo_tightens_water_parity():
+    """edge_hilo (fp32-exact edge stream, the round-5 water-deployment
+    default) must cut the bf16 parity error vs the XLA oracle relative to
+    the single-bf16 stream on the same inputs."""
+    cfg = ModelConfig(use_layer_norm=True)
+    model, variables, pos, idx, mask, feat, bond = _setup(
+        cfg, species="water", n=66, k=16, seed=1, use_bond=True)
+    ref = _xla(model, variables, pos, idx, mask, feat, bond)
+    mp = pack_params(variables["params"], cfg)
+    h0 = _h0(variables["params"], cfg, "water", feat, 66)
+    out_1 = mega_forward(pos, idx, mask, h0, mp, BOX, None, 0.5, 2.0,
+                         bond=bond, use_ln=True, tile_n=8, interpret=True,
+                         edge_hilo=False)
+    out_2 = mega_forward(pos, idx, mask, h0, mp, BOX, None, 0.5, 2.0,
+                         bond=bond, use_ln=True, tile_n=8, interpret=True,
+                         edge_hilo=True)
+    e1 = float(jnp.abs(out_1 - ref).mean())
+    e2 = float(jnp.abs(out_2 - ref).mean())
+    scale = float(jnp.abs(ref).std())
+    assert e2 < e1, (e1, e2)
+    assert e2 < 0.015 * scale

@@ -621,3 +621,50 @@ def test_train_resume_matches_straight_run(tmp_path):
         np.asarray(resumed.force_stat.count))
     np.testing.assert_allclose(float(straight.force_stat.var),
                                float(resumed.force_stat.var), rtol=1e-6)
+
+
+def test_rigid_jitter_preserves_molecule_geometry():
+    """Rigid per-molecule jitter must keep every intra-molecular distance
+    exact (the constraint manifold) while actually moving the molecules."""
+    rng = jax.random.PRNGKey(3)
+    m, g = 16, 3
+    pos = jax.random.uniform(rng, (m * g, 3)) * 10.0
+    sigma = 0.05
+    out = augment.rigid_jitter_positions(jax.random.PRNGKey(7), pos, sigma)
+    p0 = np.asarray(pos).reshape(m, g, 3)
+    p1 = np.asarray(out).reshape(m, g, 3)
+    for a, b in ((0, 1), (0, 2), (1, 2)):
+        d0 = np.linalg.norm(p0[:, a] - p0[:, b], axis=-1)
+        d1 = np.linalg.norm(p1[:, a] - p1[:, b], axis=-1)
+        np.testing.assert_allclose(d1, d0, rtol=0, atol=5e-5)
+    # Molecules moved by ~sigma (not frozen, not exploded).
+    disp = np.linalg.norm(p1.mean(axis=1) - p0.mean(axis=1), axis=-1)
+    assert 0.2 * sigma < disp.mean() < 5.0 * sigma
+
+
+def test_rigid_jitter_batched_shape_and_determinism():
+    pos = jax.random.uniform(jax.random.PRNGKey(0), (2, 12, 3)) * 5.0
+    a = augment.rigid_jitter_positions(jax.random.PRNGKey(1), pos, 0.02)
+    b = augment.rigid_jitter_positions(jax.random.PRNGKey(1), pos, 0.02)
+    assert a.shape == pos.shape
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    c = augment.rigid_jitter_positions(jax.random.PRNGKey(2), pos, 0.02)
+    assert np.abs(np.asarray(a) - np.asarray(c)).max() > 1e-4
+
+
+def test_train_step_rigid_jitter_runs():
+    """Rigid-jitter + relabel train step runs and yields a finite loss."""
+    system, frames = make_lj_frames(n_frames=4)
+    cfg = TrainConfig(batch_size=2, rotate_aug=False, jitter_sigma=0.03,
+                      rigid_jitter=True)
+    model = build_model(TINY, system)
+    state = create_train_state(model, system, cfg, 2)
+    tx = make_optimizer(cfg, 2)
+    step = make_train_step(model, system, cfg, tx,
+                           relabel_fn=lambda p: jnp.zeros_like(p))
+    batch = {"pos": jnp.stack([jnp.asarray(frames[i]["pos"])
+                               for i in range(2)]),
+             "forces": jnp.stack([jnp.asarray(frames[i]["forces"])
+                                  for i in range(2)])}
+    state2, metrics = step(state, batch)
+    assert np.isfinite(float(metrics["loss"]))
