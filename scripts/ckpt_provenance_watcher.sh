@@ -58,5 +58,6 @@ while true; do
   sleep 120
   snapshot model_ckpt_tip3p_rj tip3p_rj results/tip3p_train_rj_r5c.log
   snapshot model_ckpt_lj_r5 lj_distill results/lj_train_distill_r5c.log
+  snapshot model_ckpt_lj_relmae lj_relmae results/lj_train_relmae_r5.log
   snapshot model_ckpt_tip4p_r5 tip4p_lr results/tip4p_train_lr_r5c.log
 done
