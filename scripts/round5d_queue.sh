@@ -119,7 +119,10 @@ PYEOF
 echo "=== [A] LJ CANONICAL DATASET (CPU, background) $(date)"
 LJGEN_PID=""
 if [ ! -f md_dataset/lj_data/data_9_999.npz ]; then
-  ( JAX_PLATFORMS=cpu timeout 10800 python scripts/generate_data.py \
+  # CPU fallback needs BOTH: axon_site OFF the PYTHONPATH (its
+  # sitecustomize force-sets JAX_PLATFORMS=axon) and JAX_PLATFORMS=cpu.
+  ( PYTHONPATH=$PWD JAX_PLATFORMS=cpu timeout 10800 python \
+      scripts/generate_data.py \
       --system lj --out md_dataset/lj_data --frames 1000 --interval 50 \
       --seeds 10 > results/gen_lj_cpu_r5d.log 2>&1 ) &
   LJGEN_PID=$!
