@@ -622,15 +622,41 @@ def _resolve_unroll(n_tiles: int) -> bool:
     return n_tiles <= _UNROLL_TILES_MAX
 
 
-def _resolve_edge_hilo(default) -> bool:
+#: Cap on the hi/lo residual scratch ([rows_total, e_dim] bf16). The water
+#: deployment shape (N=774: rows 75264, e_dim 128 -> 19.3 MB residual)
+#: pushes the per-step megakernel to 137.44 MB scoped VMEM, past both the
+#: 126 MB limit and the v5e's capacity (measured compile failure,
+#: results/water_rollout_mk_hilo_r5d.log) — the dominant co-resident cost
+#: is the [rows, 1] idx/mask/bond columns, which Mosaic lane-pads 128x
+#: (s32[75264,1] -> 36.75 MB). Until those ride lane-packed, hilo
+#: auto-disables past this size; a k_model=64 slice (rows 57344,
+#: residual 14.7 MB) fits and is the supported water-hilo deployment.
+_EDGE_HILO_MAX_BYTES = 15 * 2**20
+
+
+def _resolve_edge_hilo(default, rows_total=None, e_dim=None) -> bool:
     """hi/lo (fp32-exact) edge-stream storage — see _forward_body. Default
     comes from the caller (GNNForceField turns it on for water deployment);
-    GAMD_EDGE_HILO=0/1 overrides for A/Bs."""
+    GAMD_EDGE_HILO=0/1 overrides for A/Bs. Shapes whose lo-residual scratch
+    exceeds _EDGE_HILO_MAX_BYTES fall back to the single-bf16 stream (with
+    a warning) instead of failing VMEM assignment at compile time."""
     import os
     env = os.environ.get("GAMD_EDGE_HILO")
     if env is not None and env != "":
-        return env not in ("0", "off", "false")
-    return bool(default)
+        on = env not in ("0", "off", "false")
+    else:
+        on = bool(default)
+    if on and rows_total is not None and e_dim is not None \
+            and rows_total * e_dim * 2 > _EDGE_HILO_MAX_BYTES:
+        import warnings
+        warnings.warn(
+            f"edge_hilo disabled: lo-residual scratch {rows_total}x{e_dim} "
+            f"bf16 = {rows_total * e_dim * 2 / 2**20:.1f} MB exceeds the "
+            f"{_EDGE_HILO_MAX_BYTES / 2**20:.0f} MB VMEM cap; the edge "
+            "stream runs single-bf16 (wider parity envelope). Reduce the "
+            "neighbor slice (k_model<=64 at N=774) to re-enable.")
+        on = False
+    return on
 
 
 def _fill_onehot(oh_scr, idx_ref, row_base, n_tiles, rows, n_pad):
@@ -889,7 +915,7 @@ def mega_md_steps(pos, vel, force, idx, build_mask, h0, mp: MegaParams,
     seeds = jnp.asarray(seed, jnp.int32).reshape(1)
 
     cache_onehot = rows_total * n_pad * 2 <= _OH_CACHE_BYTES
-    edge_hilo = _resolve_edge_hilo(edge_hilo)
+    edge_hilo = _resolve_edge_hilo(edge_hilo, rows_total, e_dim)
     kernel = functools.partial(
         _mega_md_kernel, n_steps=n_steps, tile_n=tile_n, k=k, n_pad=n_pad,
         n_tiles=n_tiles, n_rows=n_rows_t, n_layers=mp.w_src.shape[0], d=d,
@@ -1018,7 +1044,7 @@ def mega_forward(pos, idx, build_mask, h0, mp: MegaParams, box, cutoff,
     ])
 
     cache_onehot = rows_total * n_pad * 2 <= _OH_CACHE_BYTES
-    edge_hilo = _resolve_edge_hilo(edge_hilo)
+    edge_hilo = _resolve_edge_hilo(edge_hilo, rows_total, e_dim)
     kernel = functools.partial(
         _mega_kernel, tile_n=tile_n, k=k, n_pad=n_pad, n_tiles=n_tiles,
         n_rows=n_rows_t, n_layers=mp.w_src.shape[0], d=d, flip_dir=flip_dir,

@@ -41,6 +41,11 @@ def main():
     parser.add_argument("--equil_fraction", default=0.3, type=float)
     parser.add_argument("--n_bins", default=100, type=int)
     parser.add_argument("--max_gt_frames", default=200, type=int)
+    parser.add_argument("--gt_max_seed", default=9, type=int,
+                        help="highest trajectory seed counted as ground "
+                             "truth (default 9: the canonical 10-seed "
+                             "protocol; extra/distilled seeds are "
+                             "train-only and must not enter the GT RDF)")
     # Architecture fallbacks for LEGACY checkpoints (envelope checkpoints
     # embed their config and ignore these).
     parser.add_argument("--encoding_size", default=128, type=int)
@@ -117,14 +122,27 @@ def main():
     # Ground-truth frames: sample evenly across seeds and (equilibrated)
     # times — naive sorted()[:N] would take only seed 0's earliest frames,
     # which are pre-equilibration and decorrelate the RDF comparison.
+    # Seeds above --gt_max_seed are EXCLUDED: datasets may carry extra
+    # train-only trajectories past the canonical 10-seed protocol
+    # (--extra_seeds, distill_rollout.py), and distilled trajectories are
+    # GNN rollouts — including them would contaminate the ground-truth
+    # RDF with the model's own structure.
     files = sorted(glob.glob(os.path.join(args.data_dir, "data_*.npz")))
     if not files:
         raise SystemExit(f"no frames in {args.data_dir}")
+
+    def frame_seed(path):
+        stem = os.path.basename(path)[:-4]          # data_{seed}_{t}
+        return int(stem.split("_")[1])
 
     def frame_t(path):
         stem = os.path.basename(path)[:-4]          # data_{seed}_{t}
         return int(stem.split("_")[2])
 
+    files = [f for f in files if frame_seed(f) <= args.gt_max_seed]
+    if not files:
+        raise SystemExit(f"no frames with seed <= {args.gt_max_seed} "
+                         f"in {args.data_dir}")
     equilibrated = [f for f in files if frame_t(f) >= 200] or files
     sel = np.round(np.linspace(0, len(equilibrated) - 1,
                                min(args.max_gt_frames,

@@ -363,3 +363,24 @@ def test_megakernel_edge_hilo_tightens_water_parity():
     scale = float(jnp.abs(ref).std())
     assert e2 < e1, (e1, e2)
     assert e2 < 0.015 * scale
+
+
+def test_edge_hilo_vmem_size_guard():
+    """Shapes whose lo-residual scratch exceeds the VMEM cap must fall back
+    to the single-bf16 stream instead of failing scoped-VMEM assignment at
+    compile time (water-774 K=84 measured at 137.44 MB scoped,
+    results/water_rollout_mk_hilo_r5d.log)."""
+    import warnings
+
+    from gamd_tpu.ops import pallas_model as pm
+
+    # LJ-258 megastep shape (rows 384*48): residual 4.7 MB -> stays on.
+    assert pm._resolve_edge_hilo(True, 384 * 48, 128) is True
+    # water-774 full K=84 slice (rows 896*84): 19.3 MB -> guarded off.
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        assert pm._resolve_edge_hilo(True, 896 * 84, 128) is False
+    # water-774 at k_model=64 (rows 896*64): 14.7 MB -> fits, stays on.
+    assert pm._resolve_edge_hilo(True, 896 * 64, 128) is True
+    # caller default off is never force-enabled by the guard.
+    assert pm._resolve_edge_hilo(False, 384 * 48, 128) is False
