@@ -69,7 +69,8 @@ def jitter_positions(rng, pos, sigma=0.005):
     return pos + sigma * jax.random.normal(rng, pos.shape, pos.dtype)
 
 
-def rigid_jitter_positions(rng, pos, sigma_t, group_size=3, sigma_rot=None):
+def rigid_jitter_positions(rng, pos, sigma_t, box=None, group_size=3,
+                           sigma_rot=None):
     """Constraint-manifold jitter for rigid-molecule systems (beyond the
     reference: train_network_lj.py:228 jitters atoms independently).
 
@@ -82,6 +83,16 @@ def rigid_jitter_positions(rng, pos, sigma_t, group_size=3, sigma_rot=None):
     centroid (sigma_rot, radians; default scaled so the H-atom displacement
     from rotation matches sigma_t) — so augmented samples stay exactly on
     the rigid-body manifold while still breaking frame memorization.
+
+    box (scalar or [3]): REQUIRED for wrapped datasets. Stored frames wrap
+    atoms into the box independently, so a boundary-straddling molecule's
+    raw coordinates span ~L; rotating THOSE about their arithmetic
+    centroid changes the minimum-image O-H geometry by ~|v|*theta
+    (angstrom scale) and drives jittered atoms into neighboring molecules
+    — the r5d flagship's epoch-0 force_std blew up 286x exactly this way.
+    With box given, the rigid transform acts on minimum-image-local
+    coordinates anchored at each molecule's first atom, which is exact
+    for molecules smaller than half the box.
 
     pos: [..., N, 3] with N divisible by group_size (O,H,H ordering).
     """
@@ -97,6 +108,12 @@ def rigid_jitter_positions(rng, pos, sigma_t, group_size=3, sigma_rot=None):
                                      pos.dtype)
     omega = sigma_rot * jax.random.normal(k_r, pos.shape[:-2] + (m, 1, 3),
                                           pos.dtype)
+    if box is not None:
+        b = jnp.asarray(box, pos.dtype)
+        anchor = p[..., :1, :]
+        dv = p - anchor
+        dv = dv - b * jnp.round(dv / b)       # minimum-image local frame
+        p = anchor + dv
     c = jnp.mean(p, axis=-2, keepdims=True)
     v = p - c
     # Rodrigues rotation by the vector omega, series-guarded near 0:

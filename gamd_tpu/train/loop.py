@@ -154,7 +154,7 @@ def make_train_step(model, system: SystemConfig, train_cfg: TrainConfig,
             # keep the O-H/H-H geometry exact (augment docstring); combine
             # with relabel_fn for exact labels at the displaced positions.
             pos = augment.rigid_jitter_positions(
-                k_jit, pos, train_cfg.jitter_sigma)
+                k_jit, pos, train_cfg.jitter_sigma, box=box)
         else:
             pos = augment.jitter_positions(k_jit, pos,
                                            train_cfg.jitter_sigma)

@@ -668,3 +668,37 @@ def test_train_step_rigid_jitter_runs():
                                   for i in range(2)])}
     state2, metrics = step(state, batch)
     assert np.isfinite(float(metrics["loss"]))
+
+
+def test_rigid_jitter_wrapped_molecule_minimum_image():
+    """A molecule straddling the periodic boundary (wrapped coordinates
+    spanning ~L) must keep its MINIMUM-IMAGE intra distances exact under
+    rigid jitter. Without the box-aware local frame, rotating the wrapped
+    coordinates about their bogus arithmetic centroid changes the true
+    O-H geometry by ~|v|*theta and drives atoms into neighbor molecules
+    (the r5d flagship force_std blowup)."""
+    L = 20.0
+    # O just inside the left face; both H's wrapped to the right face.
+    pos = np.array([
+        [0.05, 10.0, 10.0], [L - 0.70, 10.6, 10.0], [L - 0.70, 9.4, 10.0],
+        # plus one interior molecule for contrast
+        [5.0, 5.0, 5.0], [5.76, 5.59, 5.0], [5.76, 4.41, 5.0],
+    ], dtype=np.float32)
+
+    def min_image_d(p, a, b):
+        d = p[a] - p[b]
+        d = d - L * np.round(d / L)
+        return np.linalg.norm(d)
+
+    out = np.asarray(augment.rigid_jitter_positions(
+        jax.random.PRNGKey(11), jnp.asarray(pos), 0.02, box=L))
+    for mol in (0, 1):
+        for a, b in ((0, 1), (0, 2), (1, 2)):
+            i, j = 3 * mol + a, 3 * mol + b
+            np.testing.assert_allclose(
+                min_image_d(out, i, j), min_image_d(pos, i, j),
+                rtol=0, atol=5e-5)
+    # displacement stays at jitter scale for every atom (min-image sense)
+    disp = pos - out
+    disp = disp - L * np.round(disp / L)
+    assert np.linalg.norm(disp, axis=-1).max() < 0.3
