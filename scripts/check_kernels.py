@@ -56,7 +56,11 @@ def main():
         ff = GNNForceField(state, system, cfg)
         ref = np.asarray(ff.force_fn()(pos, idx, live))
         scale = float(np.abs(ref).std()) + 1e-12
-        out = ff.force_fn(megakernel=True, tile_n=136)(pos, idx, mask)
+        # Deployment tile (run_md default 16): the padded water shape at
+        # tile_n=136 needs 156 MB scoped VMEM and can never compile on a
+        # v5e (r5d measured) — parity must attest the configuration that
+        # actually deploys.
+        out = ff.force_fn(megakernel=True)(pos, idx, mask)
         err = float(np.abs(np.asarray(out) - ref).max()) / scale
         status = "OK " if err < 0.06 else "FAIL"
         print(f"{status} water megakernel (bond channel, N=774): "
